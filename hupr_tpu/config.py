@@ -1,0 +1,151 @@
+"""Config system: identical YAML schema + CLI flag surface to the reference.
+
+Reference parity: /root/reference/main.py:7-33 wraps a yaml.safe_load dict in a
+recursive attribute object and exposes 8 argparse flags; split names are later
+fetched with eval('cfg.DATASET.'+phase+'Name') (/root/reference/datasets/base.py:56).
+Here the same YAML schema loads into typed dataclasses with validation, no eval().
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import yaml
+
+
+@dataclass
+class DatasetConfig:
+    upsamplingFactor: int = 4
+    duration: int = 600
+    heatmapSize: int = 64
+    imgSize: int = 256
+    rangeSize: int = 64
+    azimuthSize: int = 64
+    elevationSize: int = 8
+    numKeypoints: int = 14
+    numFrames: int = 8          # chirps per frame consumed by the model
+    numGroupFrames: int = 8     # temporal window of frames
+    numChirps: int = 16         # chirps stored per frame (center-16 of 64)
+    dataDir: str = "data/HuPR"
+    testName: List[int] = field(default_factory=list)
+    valName: List[int] = field(default_factory=list)
+    trainName: List[int] = field(default_factory=list)
+    idxToJoints: List[str] = field(default_factory=lambda: [
+        "R_Hip", "R_Knee", "R_Ankle", "L_Hip", "L_Knee",
+        "L_Ankle", "Neck", "Head", "L_Shoulder", "L_Elbow",
+        "L_Wrist", "R_Shoulder", "R_Elbow", "R_Wrist",
+    ])
+
+    def split_names(self, phase: str) -> List[int]:
+        """Safe replacement for the reference's eval('cfg.DATASET.'+phase+'Name')."""
+        if phase not in ("train", "val", "test"):
+            raise ValueError(f"Invalid phase: {phase}")
+        return {"train": self.trainName, "val": self.valName,
+                "test": self.testName}[phase]
+
+
+@dataclass
+class ModelConfig:
+    numFilters: int = 32
+    # TPU-specific knobs (absent in reference; defaults keep reference behavior)
+    computeDtype: str = "float32"   # "float32" | "bfloat16" matmul/conv compute
+    remat: bool = False             # jax.checkpoint the encoder stages
+
+
+@dataclass
+class TrainingConfig:
+    batchSize: int = 20
+    epochs: int = 200
+    lr: float = 1e-4
+    warmupEpoch: int = -1
+    warmupGrowth: float = 1.005
+    lrDecay: float = 0.999
+    lrDecayIter: int = 2000
+    lossDecay: float = -1
+    optimizer: str = "adam"
+    weightDecay: float = 1e-4
+
+
+@dataclass
+class TestConfig:
+    batchSize: int = 32
+    plotImgDir: str = ""
+
+
+@dataclass
+class SetupConfig:
+    numWorkers: int = 4
+
+
+@dataclass
+class Config:
+    DATASET: DatasetConfig = field(default_factory=DatasetConfig)
+    MODEL: ModelConfig = field(default_factory=ModelConfig)
+    TRAINING: TrainingConfig = field(default_factory=TrainingConfig)
+    TEST: TestConfig = field(default_factory=TestConfig)
+    SETUP: SetupConfig = field(default_factory=SetupConfig)
+
+
+def _build(dc_type, d: dict):
+    """Build a dataclass from a dict, keeping schema-compatible unknown keys out."""
+    names = {f.name: f for f in dataclasses.fields(dc_type)}
+    kwargs = {}
+    for k, v in d.items():
+        if k not in names:
+            continue  # tolerate extra keys like the reference's attr-object does
+        f = names[k]
+        if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
+            kwargs[k] = _build(f.type, v)
+        else:
+            kwargs[k] = v
+    return dc_type(**kwargs)
+
+
+def config_from_dict(d: dict) -> Config:
+    return Config(
+        DATASET=_build(DatasetConfig, d.get("DATASET", {})),
+        MODEL=_build(ModelConfig, d.get("MODEL", {})),
+        TRAINING=_build(TrainingConfig, d.get("TRAINING", {})),
+        TEST=_build(TestConfig, d.get("TEST", {})),
+        SETUP=_build(SetupConfig, d.get("SETUP", {})),
+    )
+
+
+def load_config(path: str) -> Config:
+    with open(path, "r") as f:
+        return config_from_dict(yaml.safe_load(f))
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    """The reference's 8 CLI flags (/root/reference/main.py:17-30), minus the
+    unsafe type=eval on --gpuIDs (here a plain comma list, used only as a
+    truthiness check in the reference)."""
+    p = argparse.ArgumentParser(description="HuPR TPU-native framework")
+    p.add_argument("--seed", type=int, default=0, metavar="S",
+                   help="random seed (default: 0)")
+    p.add_argument("--dir", type=str, default="test", metavar="B",
+                   help="directory of saving/loading")
+    p.add_argument("--visDir", type=str, default="none", metavar="B",
+                   help="directory of visualization")
+    p.add_argument("--config", type=str, default="mscsa_prgcn.yaml", metavar="B",
+                   help="config file name under ./config/")
+    p.add_argument("--gpuIDs", default="0", type=str,
+                   help="accepted for reference CLI compatibility (ignored on TPU)")
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("-sr", "--sampling_ratio", type=int, default=1,
+                   help="sampling ratio for training/test (default: 1)")
+    p.add_argument("--keypoints", action="store_true",
+                   help="print out the APs of all keypoints")
+    return p
+
+
+def resolve_config_path(name: str) -> str:
+    """Reference always loads './config/<name>' (/root/reference/main.py:31);
+    keep that, but also accept absolute/relative paths that exist as given."""
+    if os.path.exists(name):
+        return name
+    return os.path.join(".", "config", name)

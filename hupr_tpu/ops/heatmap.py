@@ -1,0 +1,87 @@
+"""Gaussian GT heatmap rasterization, argmax decoding and BCE loss — all as
+vectorized, jittable JAX (L3' of the layer map).
+
+Parity targets:
+  - generateTarget   (/root/reference/misc/utils.py:6-65): per-joint Python
+    loop pasting a 13x13 Gaussian patch; here a masked dense evaluation over
+    the full 64x64 grid, bitwise-identical because the patch border (|dx|>3σ)
+    is exactly where the reference writes nothing.
+  - get_max_preds    (/root/reference/misc/metrics.py:10-38)
+  - nn.BCELoss on probabilities (/root/reference/misc/losses.py:22,47-48)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def generate_target(joints: jnp.ndarray, num_keypoints: int, heatmap_size: int,
+                    img_size: int):
+    """joints (K, 2) int image-space coords -> (target (K, H, W), peak (K, 2)).
+
+    sigma = 2 for 64x64 maps, 3 for 128x128 (reference misc/utils.py:12-15);
+    Gaussian is unnormalized with center value 1, written only inside the
+    [mu-3σ, mu+3σ] window and clipped at the map boundary.
+    """
+    sigma = 2 if heatmap_size == 64 else 3
+    tmp_size = sigma * 3
+    feat_stride = img_size / heatmap_size
+
+    mu = jnp.floor(joints[:, :2].astype(jnp.float32) / feat_stride + 0.5).astype(jnp.int32)
+    mu_x = mu[:, 0][:, None, None]          # (K,1,1)
+    mu_y = mu[:, 1][:, None, None]
+
+    xs = jnp.arange(heatmap_size, dtype=jnp.int32)[None, None, :]
+    ys = jnp.arange(heatmap_size, dtype=jnp.int32)[None, :, None]
+    dx = xs - mu_x
+    dy = ys - mu_y
+    g = jnp.exp(-(dx.astype(jnp.float32) ** 2 + dy.astype(jnp.float32) ** 2)
+                / (2.0 * sigma * sigma))
+    # reference writes only within the (2*3σ+1)^2 patch: ul=mu-3σ, br=mu+3σ
+    inside = (jnp.abs(dx) <= tmp_size) & (jnp.abs(dy) <= tmp_size)
+    target = jnp.where(inside, g, 0.0)
+    # joints whose whole window falls outside the map are skipped entirely —
+    # including their peak coords (reference utils.py:41-43 `continue`)
+    in_bounds = ((mu[:, 0] - tmp_size < heatmap_size) & (mu[:, 1] - tmp_size < heatmap_size)
+                 & (mu[:, 0] + tmp_size + 1 >= 0) & (mu[:, 1] + tmp_size + 1 >= 0))
+    target = target * in_bounds[:, None, None].astype(jnp.float32)
+    peak = mu.astype(jnp.float32) * in_bounds[:, None].astype(jnp.float32)
+    return target.astype(jnp.float32), peak
+
+
+@partial(jax.jit, static_argnames=("num_keypoints", "heatmap_size", "img_size"))
+def generate_target_batch(joints: jnp.ndarray, num_keypoints: int = 14,
+                          heatmap_size: int = 64, img_size: int = 256):
+    """(B, K, 2) -> ((B, K, H, W), (B, K, 2)) — replaces the reference's
+    per-sample CPU loop in LossComputer (misc/losses.py:27-30)."""
+    return jax.vmap(
+        lambda j: generate_target(j, num_keypoints, heatmap_size, img_size)
+    )(joints)
+
+
+def get_max_preds(batch_heatmaps: jnp.ndarray):
+    """(B, K, H, W) -> (preds (B, K, 2) xy, maxvals (B, K, 1)).
+
+    Argmax over the flattened map; x = idx % W, y = idx // W; coordinates are
+    zeroed where the peak value is <= 0 (reference misc/metrics.py:10-38).
+    """
+    b, k, h, w = batch_heatmaps.shape
+    flat = batch_heatmaps.reshape(b, k, h * w)
+    idx = jnp.argmax(flat, axis=2)
+    maxvals = jnp.max(flat, axis=2)[..., None]
+    x = (idx % w).astype(jnp.float32)
+    y = jnp.floor(idx.astype(jnp.float32) / w)
+    preds = jnp.stack([x, y], axis=-1)
+    preds = preds * (maxvals > 0.0).astype(jnp.float32)
+    return preds, maxvals
+
+
+def bce_loss(probs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Mean binary cross-entropy on probabilities, with torch's log clamp at
+    -100 (torch nn.BCELoss semantics used at misc/losses.py:47-48)."""
+    log_p = jnp.maximum(jnp.log(probs), -100.0)
+    log_1p = jnp.maximum(jnp.log(1.0 - probs), -100.0)
+    return -jnp.mean(targets * log_p + (1.0 - targets) * log_1p)
