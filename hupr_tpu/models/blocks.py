@@ -1,0 +1,101 @@
+"""Residual conv blocks and activations shared by the encoder and decoder.
+
+Parity: BasicBlock2D / BasicBlock3D (/root/reference/models/layers.py:8-70):
+  out = act( [Conv-( BN)-act-Conv-(BN)](x) + [Conv3x3-(BN)](x) )
+All call sites use kernel 3, stride 1, padding 1. Layout here is channels-last
+(NHWC / NDHWC) — the native TPU conv layout — instead of torch NCHW.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from hupr_tpu.models.init import torch_conv_kernel_init, uniform_init
+
+
+class PReLU(nn.Module):
+    """torch nn.PReLU(): one shared learnable slope, init 0.25."""
+    init_value: float = 0.25
+
+    @nn.compact
+    def __call__(self, x):
+        a = self.param("negative_slope",
+                       lambda key, shape, dtype=jnp.float32: jnp.full(shape, self.init_value, dtype),
+                       (1,))
+        return jnp.maximum(x, 0) + a.astype(x.dtype) * jnp.minimum(x, 0)
+
+
+def make_activation(name: str) -> Callable[[], nn.Module]:
+    if name == "relu":
+        return lambda: None  # parameter-free; applied via jnp directly
+    if name == "prelu":
+        return PReLU
+    raise ValueError(name)
+
+
+def conv(features: int, kernel, in_features: int, *, strides=None, padding=0,
+         use_bias=True, name=None, dtype=None):
+    """Convolution with exact torch-default weight/bias init."""
+    kernel = tuple(kernel)
+    fan_in = in_features * int(np.prod(kernel))
+    bound = 1.0 / np.sqrt(fan_in)
+    return nn.Conv(
+        features=features,
+        kernel_size=kernel,
+        strides=strides or (1,) * len(kernel),
+        padding=[(padding, padding)] * len(kernel),
+        use_bias=use_bias,
+        kernel_init=torch_conv_kernel_init,
+        bias_init=uniform_init(bound),
+        name=name,
+        dtype=dtype,
+    )
+
+
+class BasicBlock(nn.Module):
+    """Channels-last residual block; ndim selected by the input rank.
+
+    `activation`: 'relu' (parameter-free) or 'prelu' (one learnable slope per
+    activation instance, as in the reference where activation() is constructed
+    separately inside `main` and for the output `relu`).
+    """
+    in_channels: int
+    out_channels: int
+    ndim: int
+    batchnorm: bool = True
+    activation: str = "relu"
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = (3,) * self.ndim
+        bn = partial(nn.BatchNorm, use_running_average=not train,
+                     momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+
+        h = conv(self.out_channels, k, self.in_channels, padding=1,
+                 use_bias=False, name="conv1", dtype=self.dtype)(x)
+        if self.batchnorm:
+            h = bn(name="bn1")(h)
+        if self.activation == "prelu":
+            h = PReLU(name="act1")(h)
+        else:
+            h = nn.relu(h)
+        h = conv(self.out_channels, k, self.out_channels, padding=1,
+                 use_bias=False, name="conv2", dtype=self.dtype)(h)
+        if self.batchnorm:
+            h = bn(name="bn2")(h)
+
+        res = conv(self.out_channels, k, self.in_channels, padding=1,
+                   use_bias=False, name="downsample", dtype=self.dtype)(x)
+        if self.batchnorm:
+            res = bn(name="bn_down")(res)
+
+        out = h + res
+        if self.activation == "prelu":
+            return PReLU(name="act_out")(out)
+        return nn.relu(out)
