@@ -1,0 +1,264 @@
+"""HuPR sliding-window radar dataset + batched prefetching loader (L2).
+
+Parity: HuPR3D_horivert (/root/reference/datasets/dataset.py). Design
+differences (TPU-first):
+  * Window indices (the reference's per-__getitem__ boundary-clamp loop,
+    dataset.py:126-138) are precomputed once into a static (N, G) gather
+    table, so every jitted step sees one static shape.
+  * Per-chirp Normalize runs fused on device over the whole batch
+    (hupr_tpu.ops.normalize) instead of per-slice in DataLoader workers.
+  * .npy frames are memory-mapped and only the center numFrames chirps are
+    read; recently used frames are LRU-cached because adjacent windows share
+    G-1 of G frames.
+  * Batches are assembled by a background prefetch thread (the numWorkers
+    equivalent on a host feeding a TPU).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from collections import OrderedDict
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from hupr_tpu.data.annot import generate_gt_annotations
+
+
+def window_indices(n_frames_total: int, duration: int, group: int) -> np.ndarray:
+    """(N, G) table of clamped window indices, replicating the reference's
+    stateful loop (dataset.py:126-138) exactly."""
+    table = np.zeros((n_frames_total, group), dtype=np.int64)
+    half = group // 2
+    for index in range(n_frames_total):
+        pad = index % duration
+        idx = index - half - 1
+        for j in range(group):
+            if (j + pad) <= half:
+                idx = index - pad
+            elif j > (duration - 1 - pad) + half:
+                idx = index + (duration - 1 - pad)
+            else:
+                idx += 1
+            table[index, j] = idx
+    return table
+
+
+class FrameCache:
+    """LRU cache of per-frame chirp-sliced radar arrays."""
+
+    def __init__(self, max_items: int = 4096):
+        self.max_items = max_items
+        self._d: OrderedDict = OrderedDict()
+        self._lock = threading.Lock()
+
+    def get(self, key, loader):
+        with self._lock:
+            if key in self._d:
+                self._d.move_to_end(key)
+                return self._d[key]
+        val = loader()
+        with self._lock:
+            self._d[key] = val
+            self._d.move_to_end(key)
+            while len(self._d) > self.max_items:
+                self._d.popitem(last=False)
+        return val
+
+
+class HuPRDataset:
+    """Index-addressable HuPR dataset over preprocessed .npy radar cubes."""
+
+    def __init__(self, phase: str, cfg, sampling_ratio: int = 1,
+                 random_sampling: Optional[bool] = None,
+                 generate_gt: bool = True, cache_items: int = 4096):
+        if phase not in ("train", "val", "test"):
+            raise ValueError(f"Invalid phase: {phase}")
+        self.phase = phase
+        self.cfg = cfg
+        d = cfg.DATASET
+        self.duration = d.duration
+        self.num_frames = d.numFrames
+        self.num_group_frames = d.numGroupFrames
+        self.num_chirps = d.numChirps
+        self.num_keypoints = d.numKeypoints
+        self.sampling_ratio = sampling_ratio
+        self.random_sampling = (phase == "train") if random_sampling is None \
+            else random_sampling
+        self.data_dir = d.dataDir
+
+        if generate_gt:
+            self.gt_file = generate_gt_annotations(cfg, phase)
+        else:
+            self.gt_file = os.path.join(self.data_dir, f"{phase}_gt.json")
+        with open(self.gt_file) as fp:
+            self.gt_dataset = json.load(fp)
+
+        self.image_ids: List[int] = [im["id"] for im in self.gt_dataset["images"]]
+        self.paths_hori: List[str] = []
+        self.paths_vert: List[str] = []
+        for image_id in self.image_ids:
+            s = "%09d" % image_id
+            seq, frame = int(s[:4]), int(s[-4:])
+            self.paths_hori.append(os.path.join(
+                self.data_dir, f"single_{seq}/hori/{frame:09d}.npy"))
+            self.paths_vert.append(os.path.join(
+                self.data_dir, f"single_{seq}/vert/{frame:09d}.npy"))
+
+        anns: Dict[int, dict] = {a["image_id"]: a
+                                 for a in self.gt_dataset["annotations"]}
+        self.joints = np.stack([
+            np.asarray(anns[i]["keypoints"], dtype=np.float64)
+              .reshape(-1, 3)[:, :2]
+            for i in self.image_ids])                       # (N, K, 2)
+        self.bboxes = np.stack([
+            np.asarray(anns[i]["bbox"], dtype=np.float32)
+            for i in self.image_ids])                       # (N, 4) xywh
+
+        self.windows = window_indices(len(self.image_ids), self.duration,
+                                      self.num_group_frames)
+        self._cache = FrameCache(cache_items)
+        c0 = self.num_chirps // 2 - self.num_frames // 2
+        self._chirp_slice = slice(c0, c0 + self.num_frames)
+
+    def __len__(self) -> int:
+        return len(self.image_ids) // self.sampling_ratio
+
+    # ------------- frame/sample loading (host side) -------------
+
+    def _load_frame(self, path: str) -> np.ndarray:
+        """(numFrames, R, A, E) complex64 — mmap'd, center-chirp slice only."""
+        def load():
+            arr = np.load(path, mmap_mode="r")
+            return np.ascontiguousarray(arr[self._chirp_slice]).astype(np.complex64)
+        return self._cache.get(path, load)
+
+    def raw_sample(self, index: int) -> dict:
+        """One un-normalized sample: windows of both views + annotations.
+
+        Returns float32 (G, C, 2, R, A, E) per view — the reference tensor
+        contract before Normalize (which runs on device per batch).
+        """
+        win = self.windows[index]
+        hori = np.stack([self._load_frame(self.paths_hori[i]) for i in win])
+        vert = np.stack([self._load_frame(self.paths_vert[i]) for i in win])
+        # (G, C, R, A, E) complex -> (G, C, 2, R, A, E) float
+        hori = np.stack([hori.real, hori.imag], axis=2).astype(np.float32)
+        vert = np.stack([vert.real, vert.imag], axis=2).astype(np.float32)
+        return {
+            "hori": hori,
+            "vert": vert,
+            "jointsGroup": self.joints[index],
+            "bbox": self.bboxes[index],
+            "imageId": self.image_ids[index],
+        }
+
+    def sample_index(self, i: int, rng: Optional[np.random.Generator]) -> int:
+        """Sampling-ratio subsampling (dataset.py:121-124): randomized stride
+        for train, fixed stride otherwise."""
+        if self.random_sampling and self.sampling_ratio > 1 and rng is not None:
+            return i * int(rng.integers(1, self.sampling_ratio + 1))
+        return i * self.sampling_ratio
+
+    # ------------- evaluation (dataset.py:48-88) -------------
+
+    def evaluate(self, load_dir: str, verbose: bool = True) -> float:
+        from hupr_tpu.eval import KeypointEvaluator
+        res_file = os.path.join(load_dir, f"{self.phase}_results.json")
+        with open(res_file) as fp:
+            dts = json.load(fp)
+        ev = KeypointEvaluator(self.gt_dataset, dts)
+        stats = ev.run(verbose=verbose)
+        if verbose:
+            names = ["AP", "Ap .5", "AP .75", "AP (M)", "AP (L)",
+                     "AR", "AR .5", "AR .75", "AR (M)", "AR (L)"]
+            for i, (n, v) in enumerate(zip(names, stats)):
+                print("%s:\t%.3f\t" % (n, v), end="")
+                if (i + 1) % 5 == 0:
+                    print()
+        return float(stats[0])
+
+    def evaluate_each(self, load_dir: str, verbose: bool = True) -> float:
+        """Per-keypoint AP (dataset.py:48-66). Returns the mean per-keypoint
+        AP (the reference returns the last keypoint's AP by accident — a
+        documented bug we fix; see SURVEY.md §7 'known reference bugs')."""
+        from hupr_tpu.eval import KeypointEvaluator
+        res_file = os.path.join(load_dir, f"{self.phase}_results.json")
+        with open(res_file) as fp:
+            dts = json.load(fp)
+        ev = KeypointEvaluator(self.gt_dataset, dts)
+        aps = []
+        joint_names = self.cfg.DATASET.idxToJoints
+        for k in range(self.num_keypoints):
+            stats = ev.run(idx_keypoint=k, verbose=False)
+            aps.append(float(stats[0]))
+        if verbose:
+            for name, ap in zip(joint_names, aps):
+                print("%s: %.3f" % (name, ap))
+        return float(np.mean(aps))
+
+
+class BatchLoader:
+    """Background-thread prefetching batch iterator (numWorkers equivalent)."""
+
+    def __init__(self, dataset: HuPRDataset, batch_size: int,
+                 shuffle: bool = False, seed: int = 0, prefetch: int = 2,
+                 drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self) -> Iterator[dict]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            self.rng.shuffle(order)
+        for start in range(0, n, self.batch_size):
+            idx = order[start:start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                return
+            samples = [self.dataset.raw_sample(
+                self.dataset.sample_index(int(i), self.rng)) for i in idx]
+            yield {
+                "hori": np.stack([s["hori"] for s in samples]),
+                "vert": np.stack([s["vert"] for s in samples]),
+                "jointsGroup": np.stack([s["jointsGroup"] for s in samples]),
+                "bbox": np.stack([s["bbox"] for s in samples]),
+                "imageId": np.asarray([s["imageId"] for s in samples]),
+            }
+
+    def __iter__(self) -> Iterator[dict]:
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        done = object()
+
+        def worker():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            finally:
+                q.put(done)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is done:
+                break
+            yield item
+
+
+def get_dataset(phase: str, cfg, sampling_ratio: int = 1, **kw) -> HuPRDataset:
+    """Reference getDataset equivalent (datasets/dataset.py:14-15)."""
+    return HuPRDataset(phase, cfg, sampling_ratio=sampling_ratio, **kw)

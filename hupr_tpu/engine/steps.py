@@ -1,0 +1,140 @@
+"""Jitted train/eval step functions (the compute core of the Runner, L4).
+
+The reference's per-batch work (tools/run.py:65-86, misc/losses.py:23-45) —
+normalize in DataLoader workers, forward, CPU Gaussian-target loop, BCE,
+backward, Adam step — is here one fused XLA program per step:
+  batch (un-normalized radar windows + integer joints)
+    -> device-side Normalize -> forward(+BN stats) -> vectorized targets
+    -> BCE(main)+BCE(GCN) -> grads -> torch-semantics Adam/SGD update.
+
+Optimizer parity: torch.optim.Adam(lr, betas=(0.9, 0.999), weight_decay=1e-4)
+applies L2 into the gradient (not decoupled), so the optax chain is
+add_decayed_weights -> scale_by_adam -> scale(-1); the current learning rate
+multiplies the update explicitly each step, mirroring the reference's
+param_group lr mutation (tools/base.py:66-72).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from hupr_tpu.ops.heatmap import bce_loss, generate_target_batch, get_max_preds
+from hupr_tpu.ops.normalize import normalize_radar_window
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    wd = cfg.TRAINING.weightDecay
+    if cfg.TRAINING.optimizer == "adam":
+        return optax.chain(
+            optax.add_decayed_weights(wd),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.scale(-1.0),
+        )
+    if cfg.TRAINING.optimizer == "sgd":
+        return optax.chain(
+            optax.add_decayed_weights(wd),
+            optax.trace(decay=0.9, nesterov=False),
+            optax.scale(-1.0),
+        )
+    raise ValueError(cfg.TRAINING.optimizer)
+
+
+def init_state(model, cfg, rng, example_batch=None) -> TrainState:
+    d = cfg.DATASET
+    shape = (1, d.numGroupFrames, d.numFrames, 2, d.rangeSize, d.azimuthSize,
+             d.elevationSize)
+    hori = jnp.zeros(shape, jnp.float32)
+    variables = model.init(rng, hori, hori)
+    tx = make_optimizer(cfg)
+    return TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _losses(model, params, batch_stats, batch, train: bool):
+    hori = normalize_radar_window(batch["hori"])
+    vert = normalize_radar_window(batch["vert"])
+    targets, gt2d = generate_target_batch(batch["jointsGroup"])
+    k, h = targets.shape[1], targets.shape[2]
+
+    if train:
+        (heatmap, gcn), mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            hori, vert, train=True, mutable=["batch_stats"])
+        new_stats = mutated["batch_stats"]
+    else:
+        heatmap, gcn = model.apply(
+            {"params": params, "batch_stats": batch_stats}, hori, vert)
+        new_stats = batch_stats
+
+    main = heatmap.reshape(-1, k, h, h)
+    refined = gcn.reshape(-1, k, h, h)
+    loss1 = bce_loss(main, targets)
+    loss2 = bce_loss(refined, targets)
+    return loss1, loss2, refined, targets, gt2d, new_stats
+
+
+def make_train_step(model, tx, loss_decay: float = -1.0):
+    """Returns jitted train_step(state, batch, lr, alpha) -> (state, metrics).
+
+    alpha only matters when lossDecay != -1 (loss annealing,
+    misc/losses.py:36-42); the default combines loss1 + loss2.
+    """
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, lr, alpha):
+        def loss_fn(params):
+            loss1, loss2, _, _, _, new_stats = _losses(
+                model, params, state.batch_stats, batch, train=True)
+            if loss_decay != -1.0:
+                loss = alpha * loss1 + (1.0 - alpha) * loss2
+            else:
+                loss = loss1 + loss2
+            return loss, (loss1, loss2, new_stats)
+
+        (loss, (loss1, loss2, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, batch_stats=new_stats,
+                                  opt_state=opt_state, step=state.step + 1)
+        metrics = {"loss": loss, "loss1": loss1, "loss2": loss2}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, loss_decay: float = -1.0):
+    """Returns jitted eval_step(state, batch) -> metrics with decoded 2D
+    predictions from the GCN heatmap (the reference decodes preds2:
+    misc/losses.py:43-44)."""
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        loss1, loss2, refined, targets, gt2d, _ = _losses(
+            model, state.params, state.batch_stats, batch, train=False)
+        loss = loss1 + loss2
+        pred2d, maxvals = get_max_preds(refined)
+        gt_dec, _ = get_max_preds(targets)
+        return {"loss": loss, "loss1": loss1, "loss2": loss2,
+                "pred2d": pred2d, "gt2d": gt_dec, "maxvals": maxvals,
+                "predHeatmap": refined}
+
+    return eval_step

@@ -1,0 +1,25 @@
+"""HuPR TPU-native CLI (parity: /root/reference/main.py).
+
+    python main.py --config mscsa_prgcn.yaml --dir mscsa_prgcn            # train
+    python main.py --config mscsa_prgcn.yaml --dir mscsa_prgcn --eval    # eval
+"""
+
+from hupr_tpu.config import build_arg_parser, load_config, resolve_config_path
+from hupr_tpu.engine import Runner
+
+
+def main():
+    args = build_arg_parser().parse_args()
+    cfg = load_config(resolve_config_path(args.config))
+    runner = Runner(args, cfg)
+    vis = args.visDir != "none"
+    if args.eval:
+        runner.load_model_weight("model_best")
+        runner.eval(visualization=vis)
+    else:
+        runner.load_model_weight("checkpoint")
+        runner.train()
+
+
+if __name__ == "__main__":
+    main()
