@@ -1,0 +1,68 @@
+"""Data-parallel correctness on the virtual 8-device CPU mesh: one sharded
+train step must match the single-device step numerically (XLA inserts the
+gradient all-reduce; params stay replicated)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hupr_tpu.config import config_from_dict
+from hupr_tpu.engine.steps import init_state, make_optimizer, make_train_step
+from hupr_tpu.models import build_model
+from hupr_tpu.parallel import make_mesh, replicate_state, shard_batch
+
+
+def _cfg():
+    return config_from_dict({"MODEL": {"numFilters": 2},
+                             "TRAINING": {"batchSize": 8}})
+
+
+def _batch(b=8, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (b, 8, 8, 2, 64, 64, 8)
+    return {
+        "hori": rng.standard_normal(shape).astype(np.float32),
+        "vert": rng.standard_normal(shape).astype(np.float32),
+        "jointsGroup": rng.uniform(20, 230, (b, 14, 2)),
+    }
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_step_matches_single_device():
+    cfg = _cfg()
+    model = build_model(cfg)
+    tx = make_optimizer(cfg)
+    batch = _batch()
+    step = make_train_step(model, tx)
+
+    # single device
+    state1 = init_state(model, cfg, jax.random.PRNGKey(0))
+    state1, m1 = step(state1, batch, 1e-4, 0.0)
+
+    # 8-device data parallel
+    mesh = make_mesh()
+    state8 = init_state(model, cfg, jax.random.PRNGKey(0))
+    state8 = replicate_state(state8, mesh)
+    sharded, true_b = shard_batch(batch, mesh)
+    assert true_b == 8
+    state8, m8 = step(state8, sharded, 1e-4, 0.0)
+
+    assert np.allclose(float(m1["loss"]), float(m8["loss"]), atol=1e-5)
+    p1 = jax.tree.leaves(state1.params)
+    p8 = jax.tree.leaves(state8.params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_shard_batch_pads_remainders():
+    mesh = make_mesh()
+    batch = _batch(b=5)
+    sharded, true_b = shard_batch(batch, mesh)
+    assert true_b == 5
+    assert sharded["hori"].shape[0] == 8  # padded to the device count
+    # padded rows replicate the last sample
+    np.testing.assert_allclose(np.asarray(sharded["hori"][7]),
+                               batch["hori"][4])
