@@ -71,7 +71,11 @@ def main():
     from hupr_tpu.models import HuPRNet
     from hupr_tpu.engine.pipeline import make_e2e_infer
 
-    model = HuPRNet(num_filters=32)
+    # 'pallas' is 1.7x faster in isolation at N=4096 but acts as a fusion/
+    # layout barrier inside the full forward on v5e (10.0 vs 13.4 fps e2e) —
+    # XLA's fused einsum path wins end-to-end at these sizes.
+    attn = os.environ.get("BENCH_ATTN", "xla")
+    model = HuPRNet(num_filters=32, attn_impl=attn)
     ex = np.zeros((1, 8, 8, 2, 64, 64, 8), np.float32)
     variables = _init_variables_host(model, ex)
     run = make_e2e_infer(model, variables, duration=n_frames)

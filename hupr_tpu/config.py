@@ -54,6 +54,7 @@ class ModelConfig:
     # TPU-specific knobs (absent in reference; defaults keep reference behavior)
     computeDtype: str = "float32"   # "float32" | "bfloat16" matmul/conv compute
     remat: bool = False             # jax.checkpoint the encoder stages
+    attention: str = "xla"          # "xla" einsum | "pallas" fused VMEM kernel
 
 
 @dataclass

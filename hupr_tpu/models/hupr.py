@@ -31,6 +31,7 @@ class HuPRNet(nn.Module):
     num_keypoints: int = 14
     heatmap_size: int = 64
     dtype: jnp.dtype | None = None
+    attn_impl: str = "xla"
 
     def _chirp_view(self, v):
         """(B, G, C, 2, R, A) -> (B*G, numFrames, R, A, 2) replicating the
@@ -68,8 +69,8 @@ class HuPRNet(nn.Module):
 
         # shared multi-scale attention decoder + GCN refinement
         logits, gcn = MSCSADecoder(f, self.num_keypoints, self.heatmap_size,
-                                   name="radarDecoder",
-                                   dtype=self.dtype)(
+                                   name="radarDecoder", dtype=self.dtype,
+                                   attn_impl=self.attn_impl)(
             ra_l1, ra_l2, ra_l3, re_l1, re_l2, re_l3, train)
 
         # reference output contract: (B, K, 1, H, W) and (B, 1, K, H, W)
@@ -91,4 +92,5 @@ def build_model(cfg, train_dtype=None) -> HuPRNet:
         num_keypoints=cfg.DATASET.numKeypoints,
         heatmap_size=cfg.DATASET.heatmapSize,
         dtype=dtype,
+        attn_impl=getattr(cfg.MODEL, "attention", "xla"),
     )

@@ -49,6 +49,13 @@ class MSCSADecoder(nn.Module):
     batchnorm: bool = False       # reference passes batchnorm=False
     activation: str = "prelu"     # reference passes nn.PReLU
     dtype: jnp.dtype | None = None
+    attn_impl: str = "xla"        # "xla" einsum | "pallas" fused VMEM kernel
+
+    def _attention(self, k, q, m):
+        if self.attn_impl == "pallas":
+            from hupr_tpu.ops.attention import spatial_attention_pallas
+            return spatial_attention_pallas(k, q, m)
+        return spatial_attention(k, q, m, self.dtype)
 
     def _proj(self, name, scale_idx, channels):
         """One of the 8 per-scale 1x1 bias-free projections."""
@@ -66,10 +73,10 @@ class MSCSADecoder(nn.Module):
         q_s_h = self._proj("theta_self_hori", idx, c)(ra)
         k_s_v = self._proj("phi_self_vert", idx, c)(re)
         q_s_v = self._proj("theta_self_vert", idx, c)(re)
-        ra_cross = spatial_attention(k_c_h, q_c_v, ra, self.dtype) + ra
-        ra_self = spatial_attention(k_s_h, q_s_h, ra, self.dtype)
-        re_cross = spatial_attention(k_c_v, q_c_h, re, self.dtype) + re
-        re_self = spatial_attention(k_s_v, q_s_v, re, self.dtype)
+        ra_cross = self._attention(k_c_h, q_c_v, ra) + ra
+        ra_self = self._attention(k_s_h, q_s_h, ra)
+        re_cross = self._attention(k_c_v, q_c_h, re) + re
+        re_self = self._attention(k_s_v, q_s_v, re)
         return ra_cross, ra_self, re_cross, re_self
 
     @nn.compact

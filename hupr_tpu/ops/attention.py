@@ -1,0 +1,102 @@
+"""Pallas TPU kernel for the MSCSA spatial attention.
+
+The op (reference layers.py:126-133, channels-last):
+    logits[b,i,j] = sum_c k[b,i,c] * q[b,j,c]
+    A = softmax(logits, axis=i)            # normalize over key positions
+    out[b,j,c]  = sum_i m[b,i,c] * A[b,i,j]
+
+The XLA path materializes the (N, N) attention matrix in HBM (N=4096 at the
+finest scale -> 64 MB per image per attention, 12 attentions per forward);
+this kernel keeps logits/softmax in VMEM per q-block and only ever writes the
+(N, C) result. N <= 4096 and C <= 256, so full K/M panels fit in VMEM and no
+online-softmax pass is needed.
+
+Backward: custom VJP recomputing the softmax with plain einsums (XLA), so the
+kernel accelerates both inference and the training forward pass.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(k_ref, q_ref, m_ref, o_ref):
+    k = k_ref[0]                      # (N, C)
+    q = q_ref[0]                      # (qb, C)
+    m = m_ref[0]                      # (N, C)
+    logits = jnp.dot(k, q.T, preferred_element_type=jnp.float32)   # (N, qb)
+    a = jax.nn.softmax(logits, axis=0)
+    o_ref[0] = jnp.dot(a.T, m, preferred_element_type=jnp.float32).astype(
+        o_ref.dtype)
+
+
+def _attention_fwd_pallas(k, q, m, q_block: int, interpret: bool):
+    b, n, c = k.shape
+    grid = (b, pl.cdiv(n, q_block))
+    return pl.pallas_call(
+        _attn_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_block, c), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, c), lambda bi, qi: (bi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), m.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * n * c * 2,
+            bytes_accessed=(3 * b * n * c + b * n * c) * 4,
+            transcendentals=b * n * n,
+        ),
+        interpret=interpret,
+    )(k, q, m)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_spatial_attention(k, q, m, q_block: int = 256,
+                            interpret: bool = False):
+    """k, q, m: (B, N, C) -> (B, N, C); softmax over the key axis of kᵀq."""
+    return _attention_fwd_pallas(k, q, m, q_block, interpret)
+
+
+def _fwd(k, q, m, q_block, interpret):
+    out = _attention_fwd_pallas(k, q, m, q_block, interpret)
+    return out, (k, q, m)
+
+
+def _bwd(q_block, interpret, res, g):
+    k, q, m = res
+    # recompute softmax (cheap relative to HBM-ing it in the fwd)
+    logits = jnp.einsum("bic,bjc->bij", k, q)
+    a = jax.nn.softmax(logits, axis=1)
+    # out[b,j,c] = sum_i m[b,i,c] a[b,i,j]
+    dm = jnp.einsum("bjc,bij->bic", g, a)
+    da = jnp.einsum("bic,bjc->bij", m, g)
+    # softmax backward over axis=1 (i)
+    dl = a * (da - jnp.sum(a * da, axis=1, keepdims=True))
+    dk = jnp.einsum("bij,bjc->bic", dl, q)
+    dq = jnp.einsum("bij,bic->bjc", dl, k)
+    return dk, dq, dm
+
+
+fused_spatial_attention.defvjp(_fwd, _bwd)
+
+
+def spatial_attention_pallas(k, q, m, interpret: bool = False):
+    """(B, H, W, C) convenience wrapper matching models.mscsa.spatial_attention."""
+    b, h, w, c = m.shape
+    n = h * w
+    q_block = min(256, n)
+    out = fused_spatial_attention(
+        k.reshape(b, n, c), q.reshape(b, n, c), m.reshape(b, n, c),
+        q_block, interpret)
+    return out.reshape(b, h, w, c)
