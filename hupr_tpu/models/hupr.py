@@ -12,6 +12,11 @@ reinterprets the contiguous (chirp, real/imag) axes: MNet's two input
 temporal axis alternates real, imag. That memory reinterpretation is
 reproduced here with explicit reshapes so checkpoints and training dynamics
 match; internally everything runs channels-last.
+
+The forward is split into `chirp_maps` (per-frame MNet encoding — reference
+forward_chirp) and `pose_from_maps` (3D encoders + decoder) so serving
+pipelines can encode each distinct frame once and window the 32-channel maps
+instead of raw cubes (see hupr_tpu.engine.pipeline).
 """
 
 from __future__ import annotations
@@ -33,6 +38,18 @@ class HuPRNet(nn.Module):
     dtype: jnp.dtype | None = None
     attn_impl: str = "xla"
 
+    def setup(self):
+        f = self.num_filters
+        self.RAchirpNet = MNet(f, self.num_frames, dtype=self.dtype)
+        self.REchirpNet = MNet(f, self.num_frames, dtype=self.dtype)
+        self.RAradarEncoder = Encoder3D(f, self.num_group_frames,
+                                        dtype=self.dtype)
+        self.REradarEncoder = Encoder3D(f, self.num_group_frames,
+                                        dtype=self.dtype)
+        self.radarDecoder = MSCSADecoder(f, self.num_keypoints,
+                                         self.heatmap_size, dtype=self.dtype,
+                                         attn_impl=self.attn_impl)
+
     def _chirp_view(self, v):
         """(B, G, C, 2, R, A) -> (B*G, numFrames, R, A, 2) replicating the
         reference's view-based (chirp, iq) -> (2, numFrames) reinterpretation."""
@@ -41,8 +58,11 @@ class HuPRNet(nn.Module):
         v = v.reshape(b * g, 2, self.num_frames, r, a)  # (x, f): t = 8x + f
         return jnp.transpose(v, (0, 2, 3, 4, 1))        # (B*G, f, R, A, x)
 
-    @nn.compact
-    def __call__(self, vrdae_hori, vrdae_vert, train: bool = False):
+    def chirp_maps(self, vrdae_hori, vrdae_vert):
+        """(B, G, C, 2, R, A, E) x2 -> per-frame chirp-encoded maps
+        (B, G, R, A, F) x2 (reference forward_chirp, networks.py:23-33).
+        Depends only on individual frames, so serving pipelines may run it
+        with G=1 per distinct frame and window the outputs."""
         b, g = vrdae_hori.shape[0], vrdae_hori.shape[1]
         f = self.num_filters
 
@@ -50,34 +70,27 @@ class HuPRNet(nn.Module):
         hori = jnp.mean(vrdae_hori, axis=6)
         vert = jnp.mean(vrdae_vert, axis=6)
 
-        # chirp encoders (one per radar view)
-        ra = MNet(f, self.num_frames, name="RAchirpNet",
-                  dtype=self.dtype)(self._chirp_view(hori))
-        re = MNet(f, self.num_frames, name="REchirpNet",
-                  dtype=self.dtype)(self._chirp_view(vert))
+        ra = self.RAchirpNet(self._chirp_view(hori))
+        re = self.REchirpNet(self._chirp_view(vert))
         r, a = ra.shape[1], ra.shape[2]
-        ra = ra.reshape(b, g, r, a, f)                  # (B, G, R, A, F)
-        re = re.reshape(b, g, r, a, f)
+        return ra.reshape(b, g, r, a, f), re.reshape(b, g, r, a, f)
 
-        # 3D encoders (range-azimuth / range-elevation)
-        ra_l1, ra_l2, ra_l3 = Encoder3D(f, self.num_group_frames,
-                                        name="RAradarEncoder",
-                                        dtype=self.dtype)(ra, train)
-        re_l1, re_l2, re_l3 = Encoder3D(f, self.num_group_frames,
-                                        name="REradarEncoder",
-                                        dtype=self.dtype)(re, train)
-
-        # shared multi-scale attention decoder + GCN refinement
-        logits, gcn = MSCSADecoder(f, self.num_keypoints, self.heatmap_size,
-                                   name="radarDecoder", dtype=self.dtype,
-                                   attn_impl=self.attn_impl)(
-            ra_l1, ra_l2, ra_l3, re_l1, re_l2, re_l3, train)
+    def pose_from_maps(self, ra, re, train: bool = False):
+        """(B, G, R, A, F) chirp maps x2 -> (heatmap, gcn_heatmap)."""
+        ra_l1, ra_l2, ra_l3 = self.RAradarEncoder(ra, train)
+        re_l1, re_l2, re_l3 = self.REradarEncoder(re, train)
+        logits, gcn = self.radarDecoder(ra_l1, ra_l2, ra_l3,
+                                        re_l1, re_l2, re_l3, train)
 
         # reference output contract: (B, K, 1, H, W) and (B, 1, K, H, W)
         heatmap = nn.sigmoid(logits)                    # (B, H, W, K)
         heatmap = jnp.transpose(heatmap, (0, 3, 1, 2))[:, :, None]
         gcn = jnp.transpose(gcn, (0, 3, 1, 2))[:, None]
         return heatmap, gcn
+
+    def __call__(self, vrdae_hori, vrdae_vert, train: bool = False):
+        ra, re = self.chirp_maps(vrdae_hori, vrdae_vert)
+        return self.pose_from_maps(ra, re, train)
 
 
 def build_model(cfg, train_dtype=None) -> HuPRNet:

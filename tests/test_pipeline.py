@@ -1,0 +1,57 @@
+"""Fused serving pipeline consistency: slice-based windowing must equal the
+reference gather table, and the per-frame-MNet restructuring must produce the
+same predictions as the naive cubes->windows->full-forward path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hupr_tpu.data.dataset import window_indices
+from hupr_tpu.engine.pipeline import make_e2e_infer, window_stack
+from hupr_tpu.models import HuPRNet
+from hupr_tpu.ops.dsp import radar_cube_single_frame
+from hupr_tpu.ops.heatmap import get_max_preds
+from hupr_tpu.ops.normalize import normalize_radar_window
+
+
+def test_window_stack_equals_reference_table():
+    rng = np.random.default_rng(0)
+    for f in (8, 12):
+        x = jnp.asarray(rng.standard_normal((f, 3, 5)).astype(np.float32))
+        got = np.asarray(window_stack(x, 8))
+        table = window_indices(f, duration=f, group=8)
+        want = np.asarray(x)[table]
+        np.testing.assert_allclose(got, want)
+
+
+def test_pipeline_matches_naive_path():
+    rng = np.random.default_rng(1)
+    f = 8
+    mk = lambda: rng.standard_normal((f, 4, 192, 256)).astype(np.float32)
+    hr, hi, vr, vi = mk(), mk(), mk(), mk()
+
+    model = HuPRNet(num_filters=2)
+    ex = jnp.zeros((1, 8, 8, 2, 64, 64, 8), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), ex, ex)
+
+    run = make_e2e_infer(model, variables, duration=f)
+    pred_fast, max_fast = run(hr, hi, vr, vi)
+
+    # naive path: cubes -> normalized raw windows -> full forward
+    def cubes(re, im):
+        return np.asarray(jax.vmap(radar_cube_single_frame)(
+            jnp.asarray(re + 1j * im)))
+
+    def windows_raw(c):
+        x = np.stack([c[:, 4:12].real, c[:, 4:12].imag], axis=2)
+        x = np.asarray(normalize_radar_window(jnp.asarray(x)))
+        return x[window_indices(f, f, 8)]
+
+    hori = jnp.asarray(windows_raw(cubes(hr, hi)))
+    vert = jnp.asarray(windows_raw(cubes(vr, vi)))
+    heatmap, gcn = model.apply(variables, hori, vert)
+    pred_ref, max_ref = get_max_preds(gcn.reshape(-1, 14, 64, 64))
+
+    np.testing.assert_allclose(np.asarray(max_fast), np.asarray(max_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pred_fast), np.asarray(pred_ref))
