@@ -55,17 +55,24 @@ class FrameCache:
         self._d: OrderedDict = OrderedDict()
         self._lock = threading.Lock()
 
+    def has(self, key) -> bool:
+        with self._lock:
+            return key in self._d
+
+    def put(self, key, val):
+        with self._lock:
+            self._d[key] = val
+            self._d.move_to_end(key)
+            while len(self._d) > self.max_items:
+                self._d.popitem(last=False)
+
     def get(self, key, loader):
         with self._lock:
             if key in self._d:
                 self._d.move_to_end(key)
                 return self._d[key]
         val = loader()
-        with self._lock:
-            self._d[key] = val
-            self._d.move_to_end(key)
-            while len(self._d) > self.max_items:
-                self._d.popitem(last=False)
+        self.put(key, val)
         return val
 
 
@@ -74,7 +81,8 @@ class HuPRDataset:
 
     def __init__(self, phase: str, cfg, sampling_ratio: int = 1,
                  random_sampling: Optional[bool] = None,
-                 generate_gt: bool = True, cache_items: int = 4096):
+                 generate_gt: bool = True, cache_items: int = 4096,
+                 use_native: Optional[bool] = None):
         if phase not in ("train", "val", "test"):
             raise ValueError(f"Invalid phase: {phase}")
         self.phase = phase
@@ -121,20 +129,43 @@ class HuPRDataset:
         self.windows = window_indices(len(self.image_ids), self.duration,
                                       self.num_group_frames)
         self._cache = FrameCache(cache_items)
-        c0 = self.num_chirps // 2 - self.num_frames // 2
-        self._chirp_slice = slice(c0, c0 + self.num_frames)
+        self._chirp_start = self.num_chirps // 2 - self.num_frames // 2
+        self._chirp_slice = slice(self._chirp_start,
+                                  self._chirp_start + self.num_frames)
+        if use_native is None:
+            from hupr_tpu.data.native_loader import native_available
+            use_native = native_available()
+        self.use_native = use_native
+        self._inner_shape = (d.rangeSize, d.azimuthSize, d.elevationSize)
+        self._num_io_threads = getattr(cfg.SETUP, "numWorkers", 4)
 
     def __len__(self) -> int:
         return len(self.image_ids) // self.sampling_ratio
 
     # ------------- frame/sample loading (host side) -------------
 
-    def _load_frame(self, path: str) -> np.ndarray:
-        """(numFrames, R, A, E) complex64 — mmap'd, center-chirp slice only."""
-        def load():
-            arr = np.load(path, mmap_mode="r")
-            return np.ascontiguousarray(arr[self._chirp_slice]).astype(np.complex64)
-        return self._cache.get(path, load)
+    def _load_frame_numpy(self, path: str):
+        """(numFrames, R, A, E) float32 (re, im) — mmap'd center-chirp slice."""
+        arr = np.load(path, mmap_mode="r")
+        sel = np.ascontiguousarray(arr[self._chirp_slice])
+        return (sel.real.astype(np.float32), sel.imag.astype(np.float32))
+
+    def _frames(self, paths: List[str]):
+        """Fetch frames through the LRU cache; cache misses are batch-loaded
+        by the threaded C++ loader when available."""
+        missing = [p for p in dict.fromkeys(paths) if not self._cache.has(p)]
+        if missing and self.use_native:
+            from hupr_tpu.data.native_loader import load_frames
+            loaded = load_frames(missing, self._chirp_start, self.num_frames,
+                                 self._inner_shape, self._num_io_threads)
+            if loaded is not None:
+                re, im = loaded
+                for i, p in enumerate(missing):
+                    self._cache.put(p, (re[i], im[i]))
+            else:
+                self.use_native = False  # fall back permanently on failure
+        return [self._cache.get(p, lambda p=p: self._load_frame_numpy(p))
+                for p in paths]
 
     def raw_sample(self, index: int) -> dict:
         """One un-normalized sample: windows of both views + annotations.
@@ -143,11 +174,15 @@ class HuPRDataset:
         contract before Normalize (which runs on device per batch).
         """
         win = self.windows[index]
-        hori = np.stack([self._load_frame(self.paths_hori[i]) for i in win])
-        vert = np.stack([self._load_frame(self.paths_vert[i]) for i in win])
-        # (G, C, R, A, E) complex -> (G, C, 2, R, A, E) float
-        hori = np.stack([hori.real, hori.imag], axis=2).astype(np.float32)
-        vert = np.stack([vert.real, vert.imag], axis=2).astype(np.float32)
+
+        def assemble(paths):
+            frames = self._frames([paths[i] for i in win])
+            re = np.stack([f[0] for f in frames])      # (G, C, R, A, E)
+            im = np.stack([f[1] for f in frames])
+            return np.stack([re, im], axis=2)          # (G, C, 2, R, A, E)
+
+        hori = assemble(self.paths_hori)
+        vert = assemble(self.paths_vert)
         return {
             "hori": hori,
             "vert": vert,
