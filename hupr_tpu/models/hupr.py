@@ -37,15 +37,16 @@ class HuPRNet(nn.Module):
     heatmap_size: int = 64
     dtype: jnp.dtype | None = None
     attn_impl: str = "xla"
+    remat: bool = False   # rematerialize encoder activations (memory vs FLOPs)
 
     def setup(self):
         f = self.num_filters
+        enc = nn.remat(Encoder3D, static_argnums=(2,)) if self.remat \
+            else Encoder3D
         self.RAchirpNet = MNet(f, self.num_frames, dtype=self.dtype)
         self.REchirpNet = MNet(f, self.num_frames, dtype=self.dtype)
-        self.RAradarEncoder = Encoder3D(f, self.num_group_frames,
-                                        dtype=self.dtype)
-        self.REradarEncoder = Encoder3D(f, self.num_group_frames,
-                                        dtype=self.dtype)
+        self.RAradarEncoder = enc(f, self.num_group_frames, dtype=self.dtype)
+        self.REradarEncoder = enc(f, self.num_group_frames, dtype=self.dtype)
         self.radarDecoder = MSCSADecoder(f, self.num_keypoints,
                                          self.heatmap_size, dtype=self.dtype,
                                          attn_impl=self.attn_impl)
@@ -106,4 +107,5 @@ def build_model(cfg, train_dtype=None) -> HuPRNet:
         heatmap_size=cfg.DATASET.heatmapSize,
         dtype=dtype,
         attn_impl=getattr(cfg.MODEL, "attention", "xla"),
+        remat=getattr(cfg.MODEL, "remat", False),
     )
