@@ -94,7 +94,10 @@ class HuPRDataset:
         self.num_chirps = d.numChirps
         self.num_keypoints = d.numKeypoints
         self.sampling_ratio = sampling_ratio
-        self.random_sampling = (phase == "train") if random_sampling is None \
+        # the reference constructs every phase with random=True
+        # (datasets/dataset.py:14-15,121-124): with sampling_ratio > 1 even
+        # eval indices are randomized; parity keeps that default.
+        self.random_sampling = True if random_sampling is None \
             else random_sampling
         self.data_dir = d.dataDir
 

@@ -31,6 +31,7 @@ from hupr_tpu.engine.steps import (
     TrainState, init_state, make_eval_step, make_optimizer, make_train_step)
 from hupr_tpu.models import build_model
 from hupr_tpu.parallel import make_mesh, replicate_state, shard_batch
+from hupr_tpu.parallel.mesh import device_prefetch
 
 
 def xywh_to_center_scale(x, y, w, h, aspect_ratio=1.0, pixel_std=200.0):
@@ -182,12 +183,10 @@ class Runner:
         loss_list = []
         save_preds: list = []
         self.logger.clear(len(self.test_set))
-        for batch in self.test_loader:
-            image_ids = batch.pop("imageId")
-            bbox = batch.pop("bbox")
-            device_batch, true_b = shard_batch(
-                {"hori": batch["hori"], "vert": batch["vert"],
-                 "jointsGroup": batch["jointsGroup"]}, self.mesh)
+        for device_batch, batch, true_b in device_prefetch(self.test_loader,
+                                                           self.mesh):
+            image_ids = batch["imageId"]
+            bbox = batch["bbox"]
             out = self.eval_step(self.state, device_batch)
             pred2d = np.asarray(out["pred2d"])[:true_b]
             loss = float(out["loss"])
@@ -211,10 +210,8 @@ class Runner:
         for epoch in range(self.start_epoch, t.epochs):
             loss_list = []
             self.logger.clear(len(self.train_set))
-            for idx_batch, batch in enumerate(self.train_loader):
-                device_batch, true_b = shard_batch(
-                    {"hori": batch["hori"], "vert": batch["vert"],
-                     "jointsGroup": batch["jointsGroup"]}, self.mesh)
+            for idx_batch, (device_batch, _, true_b) in enumerate(
+                    device_prefetch(self.train_loader, self.mesh)):
                 self.state, metrics = self.train_step(
                     self.state, device_batch, self.lr, self.alpha)
                 if t.lossDecay != -1 and self.alpha < 1.0:

@@ -59,3 +59,22 @@ def shard_batch(batch: dict, mesh: Mesh) -> tuple[dict, int]:
 
 def replicate_state(state, mesh: Mesh):
     return jax.device_put(state, replicated(mesh))
+
+
+def device_prefetch(batch_iter, mesh: Mesh, keys=("hori", "vert",
+                                                  "jointsGroup")):
+    """Double-buffer host batches onto the device: batch i+1 transfers while
+    the step for batch i runs (JAX dispatch is async, so yielding immediately
+    after device_put overlaps transfer with compute).
+
+    Yields (device_batch, host_batch, true_batch_size)."""
+    pending = None
+    for batch in batch_iter:
+        nxt = (shard_batch({k: batch[k] for k in keys}, mesh), batch)
+        if pending is not None:
+            (dev, true_b), host = pending
+            yield dev, host, true_b
+        pending = nxt
+    if pending is not None:
+        (dev, true_b), host = pending
+        yield dev, host, true_b

@@ -9,6 +9,12 @@ from hupr_tpu.engine import Runner
 
 
 def main():
+    import os
+    if os.environ.get("HUPR_MULTIHOST") == "1":
+        # multi-host SPMD over DCN: every host runs this same program; the
+        # data-parallel Mesh in hupr_tpu.parallel then spans all hosts' chips
+        import jax
+        jax.distributed.initialize()
     args = build_arg_parser().parse_args()
     cfg = load_config(resolve_config_path(args.config))
     runner = Runner(args, cfg)
