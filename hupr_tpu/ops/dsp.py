@@ -109,13 +109,26 @@ def radar_cube_single_frame(frame: jnp.ndarray,
     azim = jnp.fft.fft2(azim, axes=(1, 2))
     elev = jnp.fft.fft2(elev, axes=(1, 2))
 
+    # The reference (:137-171) runs the angle FFTs over all 256 ADC bins and
+    # all 64 Doppler chirps, then discards 3/4 of each (range gate 94..31,
+    # central-16 chirp crop). Both selections are column picks on axes the
+    # angle FFTs never mix, so they commute with step 3 — selecting first is
+    # bit-identical and cuts the angle-FFT work and tensor sizes 16x
+    # (profiled as the dominant pipeline cost otherwise).
+    nab = p.num_angle_bins
+    gate = p.range_gate_start - np.arange(nab)       # range gate (:154-157)
+    half, k = p.idx_proc_chirp // 2, p.num_kept_chirps
+    # central-16 selection applied post-fftshift(:159-171); pre-shift indices:
+    chirp_sel = (np.arange(half - k // 2, half + k // 2) + half) % p.idx_proc_chirp
+    azim = azim[:, chirp_sel][:, :, gate]            # (8, 16, 64)
+    elev = elev[:, chirp_sel][:, :, gate]
+
     # 3. angle FFTs (reference :137-151).
     #    Zero-pad azimuth 8->64; pad elevation array 4->64 centered at rows 2..5;
-    #    stack into an (ele=8, az=64, chirp, ADC) tensor (planes 2..7 zero).
-    nab = p.num_angle_bins
+    #    stack into an (ele=8, az=64, chirp, rng) tensor (planes 2..7 zero).
     azim = jnp.pad(azim, ((0, nab - azim.shape[0]), (0, 0), (0, 0)))
     elev = jnp.pad(elev, ((2, nab - 4 - 2), (0, 0), (0, 0)))
-    merged = jnp.stack([azim, elev])                                 # (2,64,C,A)
+    merged = jnp.stack([azim, elev])                                 # (2,64,C,R)
     merged = jnp.pad(merged, ((0, p.num_ele_bins - 2), (0, 0), (0, 0), (0, 0)))
 
     # elevation FFT only on azimuth rows 2..5 (where the vertical array lives);
@@ -123,21 +136,12 @@ def radar_cube_single_frame(frame: jnp.ndarray,
     ele_fft = jnp.fft.fft(merged, axis=0)
     merged = merged.at[:, 2:6].set(ele_fft[:, 2:6])
     # azimuth FFT over all rows, per elevation bin
-    merged = jnp.fft.fft(merged, axis=1)                             # (8,64,C,A)
+    merged = jnp.fft.fft(merged, axis=1)                             # (8,64,C,R)
 
-    # 4. range gating: ADC bins start..start-63 descending (reference :154-157),
-    #    then Doppler fftshift over the chirp axis (:159-164).
-    gate = p.range_gate_start - np.arange(nab)                       # static idx
-    gated = merged[:, :, :, gate]                                    # (8,64,C,64)
-    cube = jnp.transpose(gated, (2, 3, 1, 0))                        # (C,rng,az,ele)
-    cube = jnp.fft.fftshift(cube, axes=0)
-
-    # 5. keep the central 16 Doppler chirps; per kept chirp the reference's
-    #    transpose/fftshift/transpose/flip chain (:167-171, :48-52) reduces to
-    #    fftshift + flip over the (azimuth, elevation) axes.
-    half = p.idx_proc_chirp // 2
-    k = p.num_kept_chirps
-    cube = cube[half - k // 2: half + k // 2]                        # (16,rng,az,ele)
+    # 4. final layout: per kept chirp the reference's transpose/fftshift/
+    #    transpose/flip chain (:167-171, :48-52) reduces to fftshift + flip
+    #    over the (azimuth, elevation) axes.
+    cube = jnp.transpose(merged, (2, 3, 1, 0))                       # (C,rng,az,ele)
     cube = jnp.fft.fftshift(cube, axes=(2, 3))
     cube = jnp.flip(cube, axis=(2, 3))
     return cube
