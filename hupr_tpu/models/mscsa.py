@@ -52,9 +52,10 @@ class MSCSADecoder(nn.Module):
     attn_impl: str = "xla"        # "xla" einsum | "pallas" fused VMEM kernel
 
     def _attention(self, k, q, m):
-        if self.attn_impl == "pallas":
+        if self.attn_impl in ("pallas", "pallas_bf16"):
             from hupr_tpu.ops.attention import spatial_attention_pallas
-            return spatial_attention_pallas(k, q, m)
+            return spatial_attention_pallas(
+                k, q, m, mxu_bf16=(self.attn_impl == "pallas_bf16"))
         return spatial_attention(k, q, m, self.dtype)
 
     def _proj(self, name, scale_idx, channels):

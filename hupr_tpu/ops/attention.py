@@ -25,21 +25,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attn_kernel(k_ref, q_ref, m_ref, o_ref):
-    k = k_ref[0]                      # (N, C)
-    q = q_ref[0]                      # (qb, C)
-    m = m_ref[0]                      # (N, C)
-    logits = jnp.dot(k, q.T, preferred_element_type=jnp.float32)   # (N, qb)
-    a = jax.nn.softmax(logits, axis=0)
-    o_ref[0] = jnp.dot(a.T, m, preferred_element_type=jnp.float32).astype(
-        o_ref.dtype)
+def _make_attn_kernel(mxu_bf16: bool):
+    def _attn_kernel(k_ref, q_ref, m_ref, o_ref):
+        k = k_ref[0]                      # (N, C)
+        q = q_ref[0]                      # (qb, C)
+        m = m_ref[0]                      # (N, C)
+        if mxu_bf16:
+            # bf16 operands, f32 accumulation: ~4x MXU throughput; softmax
+            # stays f32. Opt-in (bit-exactness vs the einsum path is relaxed).
+            k, q, m = (x.astype(jnp.bfloat16) for x in (k, q, m))
+        logits = jnp.dot(k, q.T, preferred_element_type=jnp.float32)  # (N, qb)
+        a = jax.nn.softmax(logits, axis=0)
+        if mxu_bf16:
+            a = a.astype(jnp.bfloat16)
+        o_ref[0] = jnp.dot(a.T, m, preferred_element_type=jnp.float32).astype(
+            o_ref.dtype)
+    return _attn_kernel
 
 
-def _attention_fwd_pallas(k, q, m, q_block: int, interpret: bool):
+def _attention_fwd_pallas(k, q, m, q_block: int, interpret: bool,
+                          mxu_bf16: bool = False):
     b, n, c = k.shape
     grid = (b, pl.cdiv(n, q_block))
     return pl.pallas_call(
-        _attn_kernel,
+        _make_attn_kernel(mxu_bf16),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, n, c), lambda bi, qi: (bi, 0, 0),
@@ -61,19 +70,19 @@ def _attention_fwd_pallas(k, q, m, q_block: int, interpret: bool):
     )(k, q, m)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_spatial_attention(k, q, m, q_block: int = 256,
-                            interpret: bool = False):
+                            interpret: bool = False, mxu_bf16: bool = False):
     """k, q, m: (B, N, C) -> (B, N, C); softmax over the key axis of kᵀq."""
-    return _attention_fwd_pallas(k, q, m, q_block, interpret)
+    return _attention_fwd_pallas(k, q, m, q_block, interpret, mxu_bf16)
 
 
-def _fwd(k, q, m, q_block, interpret):
-    out = _attention_fwd_pallas(k, q, m, q_block, interpret)
+def _fwd(k, q, m, q_block, interpret, mxu_bf16):
+    out = _attention_fwd_pallas(k, q, m, q_block, interpret, mxu_bf16)
     return out, (k, q, m)
 
 
-def _bwd(q_block, interpret, res, g):
+def _bwd(q_block, interpret, mxu_bf16, res, g):
     k, q, m = res
     # recompute softmax (cheap relative to HBM-ing it in the fwd)
     logits = jnp.einsum("bic,bjc->bij", k, q)
@@ -91,12 +100,13 @@ def _bwd(q_block, interpret, res, g):
 fused_spatial_attention.defvjp(_fwd, _bwd)
 
 
-def spatial_attention_pallas(k, q, m, interpret: bool = False):
+def spatial_attention_pallas(k, q, m, interpret: bool = False,
+                             mxu_bf16: bool = False):
     """(B, H, W, C) convenience wrapper matching models.mscsa.spatial_attention."""
     b, h, w, c = m.shape
     n = h * w
     q_block = min(256, n)
     out = fused_spatial_attention(
         k.reshape(b, n, c), q.reshape(b, n, c), m.reshape(b, n, c),
-        q_block, interpret)
+        q_block, interpret, mxu_bf16)
     return out.reshape(b, h, w, c)
