@@ -164,8 +164,10 @@ class Runner:
                 "keypoints": preds3[j].reshape(-1).tolist(),
             }
             if pred_heatmap is not None:
+                # torch .var() is unbiased (base.py:140) -> ddof=1
                 block["sigma"] = [
-                    float(pred_heatmap[j, k].var() * self.heatmap_size)
+                    float(np.var(pred_heatmap[j, k], ddof=1)
+                          * self.heatmap_size)
                     for k in range(self.num_keypoints)]
             save_preds.append(block)
         return save_preds

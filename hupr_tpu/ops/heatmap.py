@@ -19,18 +19,32 @@ import jax.numpy as jnp
 
 
 def generate_target(joints: jnp.ndarray, num_keypoints: int, heatmap_size: int,
-                    img_size: int):
+                    img_size: int, is_coord: bool = False, sigmas=None):
     """joints (K, 2) int image-space coords -> (target (K, H, W), peak (K, 2)).
 
     sigma = 2 for 64x64 maps, 3 for 128x128 (reference misc/utils.py:12-15);
     Gaussian is unnormalized with center value 1, written only inside the
-    [mu-3σ, mu+3σ] window and clipped at the map boundary.
+    [mu-3σ, mu+3σ] window and clipped at the map boundary. Optional modes of
+    the reference API (utils.py:30-36, unused by the benchmark pipeline):
+    `sigmas` gives per-joint sigmas (x10 scale), `is_coord` treats joints as
+    normalized [0,1) coordinates.
     """
-    sigma = 2 if heatmap_size == 64 else 3
-    tmp_size = sigma * 3
+    if sigmas is not None:
+        sigma_flat = jnp.asarray(sigmas, jnp.float32).reshape(-1) * 10.0
+    else:
+        s = float(2 if heatmap_size == 64 else 3)
+        sigma_flat = jnp.full((num_keypoints,), s, jnp.float32)
+    sigma = sigma_flat[:, None, None]
+    tmp_flat = jnp.floor(sigma_flat * 3.0).astype(jnp.int32)   # (K,)
+    tmp_size = tmp_flat[:, None, None]
     feat_stride = img_size / heatmap_size
 
-    mu = jnp.floor(joints[:, :2].astype(jnp.float32) / feat_stride + 0.5).astype(jnp.int32)
+    if is_coord:
+        mu = jnp.floor(joints[:, :2].astype(jnp.float32) * heatmap_size
+                       ).astype(jnp.int32)
+    else:
+        mu = jnp.floor(joints[:, :2].astype(jnp.float32) / feat_stride + 0.5
+                       ).astype(jnp.int32)
     mu_x = mu[:, 0][:, None, None]          # (K,1,1)
     mu_y = mu[:, 1][:, None, None]
 
@@ -45,8 +59,10 @@ def generate_target(joints: jnp.ndarray, num_keypoints: int, heatmap_size: int,
     target = jnp.where(inside, g, 0.0)
     # joints whose whole window falls outside the map are skipped entirely —
     # including their peak coords (reference utils.py:41-43 `continue`)
-    in_bounds = ((mu[:, 0] - tmp_size < heatmap_size) & (mu[:, 1] - tmp_size < heatmap_size)
-                 & (mu[:, 0] + tmp_size + 1 >= 0) & (mu[:, 1] + tmp_size + 1 >= 0))
+    in_bounds = ((mu[:, 0] - tmp_flat < heatmap_size)
+                 & (mu[:, 1] - tmp_flat < heatmap_size)
+                 & (mu[:, 0] + tmp_flat + 1 >= 0)
+                 & (mu[:, 1] + tmp_flat + 1 >= 0))
     target = target * in_bounds[:, None, None].astype(jnp.float32)
     peak = mu.astype(jnp.float32) * in_bounds[:, None].astype(jnp.float32)
     return target.astype(jnp.float32), peak
