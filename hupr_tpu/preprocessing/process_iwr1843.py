@@ -106,6 +106,40 @@ class RadarPreprocessor:
             self.process_capture(vert_dir, out_dir, "vert")
 
 
+def load_data_plot(out_dir: str, annot_path: str, rgb_dir: str,
+                   vis_dir: str, num_frames: int = 600,
+                   x_indices=(-45, -30, -15, 0, 15, 30, 45),
+                   y_indices=tuple(i * 10 for i in range(10))):
+    """Per-frame diagnostic panels from saved cubes + annotations (parity:
+    reference loadDataPlot, process_iwr1843.py:198-213, dead code there).
+    Magnitude maps are |cube| averaged over chirp and elevation."""
+    import json
+
+    from PIL import Image
+
+    from hupr_tpu.preprocessing.plot_utils import (composite_gt_heatmap,
+                                                   plot_maps)
+
+    with open(annot_path) as fp:
+        annots = json.load(fp)
+    os.makedirs(vis_dir, exist_ok=True)
+    for f in range(num_frames):
+        hori = np.load(os.path.join(out_dir, "hori", f"{f:09d}.npy"))
+        vert = np.load(os.path.join(out_dir, "vert", f"{f:09d}.npy"))
+        hori_map = np.mean(np.abs(hori), axis=(0, 3))
+        vert_map = np.mean(np.abs(vert), axis=(0, 3))
+        rgb_path = os.path.join(rgb_dir, f"{f:09d}.jpg")
+        if os.path.exists(rgb_path):
+            img = np.asarray(Image.open(rgb_path).convert("RGB"))
+        else:
+            img = np.zeros((256, 256, 3), dtype=np.uint8)
+        joints = np.asarray(annots[f]["joints"])
+        heatmap = composite_gt_heatmap(joints)
+        plot_maps(os.path.join(vis_dir, f"{f:09d}.png"), list(x_indices),
+                  list(y_indices), f, hori_map, img, heatmap, vert_map)
+        print(f"{out_dir}, finished frame {f}", end="\r")
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sequences", type=int, nargs="*", default=None,
