@@ -82,19 +82,83 @@ def _fwd(k, q, m, q_block, interpret, mxu_bf16):
     return out, (k, q, m)
 
 
+def _make_bwd_kernel(mxu_bf16: bool):
+    """Backward kernel: per (batch, q-block) recompute the softmax column
+    block in VMEM and accumulate dk/dm across q-blocks (their output block
+    index is constant in qi, so Pallas keeps the accumulator resident)."""
+
+    def kernel(k_ref, q_ref, m_ref, g_ref, dk_ref, dq_ref, dm_ref):
+        qi = pl.program_id(1)
+        k = k_ref[0]                       # (N, C)
+        q = q_ref[0]                       # (qb, C)
+        m = m_ref[0]                       # (N, C)
+        g = g_ref[0]                       # (qb, C)
+        if mxu_bf16:
+            k, q, m, g = (x.astype(jnp.bfloat16) for x in (k, q, m, g))
+
+        logits = jnp.dot(k, q.T, preferred_element_type=jnp.float32)  # (N, qb)
+        a = jax.nn.softmax(logits, axis=0)
+        am = a.astype(jnp.bfloat16) if mxu_bf16 else a
+
+        # da[i,j] = sum_c m[i,c] g[j,c]
+        da = jnp.dot(m, g.T, preferred_element_type=jnp.float32)      # (N, qb)
+        # softmax bwd over the key axis (i)
+        dl = a * (da - jnp.sum(a * da, axis=0, keepdims=True))
+        dlm = dl.astype(jnp.bfloat16) if mxu_bf16 else dl
+
+        dq_ref[0] = jnp.dot(dlm.T, k,
+                            preferred_element_type=jnp.float32).astype(
+            dq_ref.dtype)                                              # (qb, C)
+
+        dk_part = jnp.dot(dlm, q, preferred_element_type=jnp.float32)
+        dm_part = jnp.dot(am, g, preferred_element_type=jnp.float32)
+
+        @pl.when(qi == 0)
+        def _():
+            dk_ref[0] = dk_part.astype(dk_ref.dtype)
+            dm_ref[0] = dm_part.astype(dm_ref.dtype)
+
+        @pl.when(qi != 0)
+        def _():
+            dk_ref[0] = dk_ref[0] + dk_part.astype(dk_ref.dtype)
+            dm_ref[0] = dm_ref[0] + dm_part.astype(dm_ref.dtype)
+
+    return kernel
+
+
+def _attention_bwd_pallas(k, q, m, g, q_block: int, interpret: bool,
+                          mxu_bf16: bool):
+    b, n, c = k.shape
+    grid = (b, pl.cdiv(n, q_block))
+    panel = lambda: pl.BlockSpec((1, n, c), lambda bi, qi: (bi, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    qpanel = lambda: pl.BlockSpec((1, q_block, c), lambda bi, qi: (bi, qi, 0),
+                                  memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_bwd_kernel(mxu_bf16),
+        grid=grid,
+        in_specs=[panel(), qpanel(), panel(), qpanel()],
+        out_specs=(panel(), qpanel(), panel()),
+        out_shape=(jax.ShapeDtypeStruct((b, n, c), k.dtype),
+                   jax.ShapeDtypeStruct((b, n, c), q.dtype),
+                   jax.ShapeDtypeStruct((b, n, c), m.dtype)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * n * c * 5,
+            bytes_accessed=7 * b * n * c * 4,
+            transcendentals=b * n * n,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(k, q, m, g)
+
+
 def _bwd(q_block, interpret, mxu_bf16, res, g):
     k, q, m = res
-    # recompute softmax (cheap relative to HBM-ing it in the fwd)
-    logits = jnp.einsum("bic,bjc->bij", k, q)
-    a = jax.nn.softmax(logits, axis=1)
-    # out[b,j,c] = sum_i m[b,i,c] a[b,i,j]
-    dm = jnp.einsum("bjc,bij->bic", g, a)
-    da = jnp.einsum("bic,bjc->bij", m, g)
-    # softmax backward over axis=1 (i)
-    dl = a * (da - jnp.sum(a * da, axis=1, keepdims=True))
-    dk = jnp.einsum("bij,bjc->bic", dl, q)
-    dq = jnp.einsum("bij,bic->bjc", dl, k)
-    return dk, dq, dm
+    n = k.shape[1]
+    # VMEM budget: two (N, qb) f32 panels + 4 input / 2 accumulator panels
+    bwd_qb = min(q_block, 128) if n >= 4096 else q_block
+    return _attention_bwd_pallas(k, q, m, g, bwd_qb, interpret, mxu_bf16)
 
 
 fused_spatial_attention.defvjp(_fwd, _bwd)
