@@ -12,6 +12,7 @@ from functools import partial
 from typing import Callable
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,6 +37,49 @@ def make_activation(name: str) -> Callable[[], nn.Module]:
     if name == "prelu":
         return PReLU
     raise ValueError(name)
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with exact torch semantics: normalization uses the biased
+    batch variance, but the running-stats update uses the *unbiased* variance
+    (torch _BatchNorm; flax nn.BatchNorm uses biased for both). momentum is
+    torch-style: running = (1-m)*running + m*batch with m=0.1."""
+    use_running_average: bool
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        features = x.shape[-1]
+        scale = self.param("scale", lambda k, s: jnp.ones(s, jnp.float32),
+                           (features,))
+        bias = self.param("bias", lambda k, s: jnp.zeros(s, jnp.float32),
+                          (features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32),
+                                (features,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32),
+                               (features,))
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            n = np.prod([x.shape[a] for a in axes])
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+
+        y = (x - mean.astype(x.dtype)) * jax.lax.rsqrt(
+            var + self.epsilon).astype(x.dtype)
+        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
 def conv(features: int, kernel, in_features: int, *, strides=None, padding=0,
@@ -74,8 +118,8 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         k = (3,) * self.ndim
-        bn = partial(nn.BatchNorm, use_running_average=not train,
-                     momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        bn = partial(TorchBatchNorm, use_running_average=not train,
+                     momentum=0.1, epsilon=1e-5, dtype=self.dtype)
 
         h = conv(self.out_channels, k, self.in_channels, padding=1,
                  use_bias=False, name="conv1", dtype=self.dtype)(x)
