@@ -30,7 +30,7 @@ from hupr_tpu.engine.logger import Logger
 from hupr_tpu.engine.steps import (
     TrainState, init_state, make_eval_step, make_optimizer, make_train_step)
 from hupr_tpu.models import build_model
-from hupr_tpu.parallel import make_mesh, replicate_state, shard_batch
+from hupr_tpu.parallel import make_mesh, replicate_state
 from hupr_tpu.parallel.mesh import device_prefetch
 
 
