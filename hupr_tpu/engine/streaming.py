@@ -1,0 +1,124 @@
+"""Streaming (per-frame, latency-oriented) pose estimation.
+
+The batch pipeline (engine/pipeline.py) maximizes throughput over frame
+stacks; this module serves one frame at a time with the same semantics: a
+rolling window of the last G per-frame chirp-encoded maps feeds the pose
+decoder, replicate-padding at the start of a sequence exactly like the
+reference's boundary clamp (datasets/dataset.py:126-138). Lookahead caveat:
+the offline window is centered (G/2-1 future frames); a causal stream cannot
+see the future, so predictions correspond to the frame G/2-1 steps back —
+`latency_frames` documents that.
+
+Everything stays on device between frames; per-frame host work is one
+raw-ADC transfer and one (K, 2) fetch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hupr_tpu.ops.dsp import RadarParams, radar_cube_single_frame
+from hupr_tpu.ops.heatmap import get_max_preds
+from hupr_tpu.engine.pipeline import cube_chirp_input
+
+
+class StreamingPoseEstimator:
+    def __init__(self, model, variables, params: RadarParams = RadarParams(),
+                 group: int = 8):
+        self.model = model
+        self.variables = variables
+        self.params = params
+        self.group = group
+        self._maps: Optional[tuple] = None   # rolling (G, R, A, F) per view
+        self._count = 0
+
+        @jax.jit
+        def encode(hori_re, hori_im, vert_re, vert_im):
+            def cube(re, im):
+                c = radar_cube_single_frame(re + 1j * im, params)
+                return jnp.real(c)[None], jnp.imag(c)[None]
+
+            hr, hi = cube(hori_re, hori_im)
+            vr, vi = cube(vert_re, vert_im)
+            hori = cube_chirp_input(hr, hi)
+            vert = cube_chirp_input(vr, vi)
+            ra, re = model.apply(variables, hori, vert, method="chirp_maps")
+            return ra[0, 0], re[0, 0]                  # (R, A, F) each
+
+        @jax.jit
+        def push(maps, new):
+            return jnp.concatenate([maps[1:], new[None]], axis=0)
+
+        @jax.jit
+        def decode(ra_window, re_window):
+            hm, gcn = model.apply(variables, ra_window[None], re_window[None],
+                                  method="pose_from_maps")
+            k, h = gcn.shape[2], gcn.shape[3]
+            pred2d, maxvals = get_max_preds(gcn.reshape(-1, k, h, h))
+            return pred2d[0], maxvals[0]
+
+        self._encode = encode
+        self._push = push
+        self._decode = decode
+
+    @property
+    def latency_frames(self) -> int:
+        """Predictions lag the newest frame by G/2 - 1 frames (the centered
+        window's lookahead)."""
+        return self.group // 2 - 1
+
+    def reset(self):
+        self._maps = None
+        self._count = 0
+
+    def process_frame(self, hori_frame: np.ndarray, vert_frame: np.ndarray):
+        """One raw ADC frame per view, each (RX=4, 192, 256) complex (or a
+        (re, im) float32 tuple) -> (keypoints (K, 2) heatmap coords, maxvals).
+
+        The first G/2 calls replicate-initialize the window (sequence start
+        clamp); every call emits the pose for the window centered G/2-1
+        frames back.
+        """
+        def split(f):
+            if isinstance(f, tuple):
+                return (jnp.asarray(f[0], jnp.float32),
+                        jnp.asarray(f[1], jnp.float32))
+            f = np.asarray(f)
+            return (jnp.asarray(f.real, jnp.float32),
+                    jnp.asarray(f.imag, jnp.float32))
+
+        hr, hi = split(hori_frame)
+        vr, vi = split(vert_frame)
+        ra, re = self._encode(hr, hi, vr, vi)
+
+        if self._maps is None:
+            # sequence start: window full of the first frame (boundary clamp)
+            ra_w = jnp.broadcast_to(ra[None], (self.group,) + ra.shape)
+            re_w = jnp.broadcast_to(re[None], (self.group,) + re.shape)
+            self._maps = (jnp.asarray(ra_w), jnp.asarray(re_w))
+        else:
+            self._maps = (self._push(self._maps[0], ra),
+                          self._push(self._maps[1], re))
+        self._count += 1
+
+        pred2d, maxvals = self._decode(*self._maps)
+        return np.asarray(pred2d), np.asarray(maxvals)
+
+    def flush(self):
+        """End of sequence: emit the remaining G/2 - 1 poses by re-pushing the
+        final frame (the offline end-of-sequence clamp). Returns a list of
+        (pred2d, maxvals)."""
+        out = []
+        if self._maps is None:
+            return out
+        for _ in range(self.latency_frames):
+            self._maps = (self._push(self._maps[0], self._maps[0][-1]),
+                          self._push(self._maps[1], self._maps[1][-1]))
+            pred2d, maxvals = self._decode(*self._maps)
+            out.append((np.asarray(pred2d), np.asarray(maxvals)))
+        return out

@@ -1,0 +1,55 @@
+"""Streaming per-frame inference must reproduce the offline batch pipeline:
+the pose emitted at stream step t equals the offline pose for frame t - (G/2-1),
+with flush() covering the end-of-sequence clamp."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hupr_tpu.engine.pipeline import make_e2e_infer
+from hupr_tpu.engine.streaming import StreamingPoseEstimator
+from hupr_tpu.models import HuPRNet
+
+
+def test_streaming_matches_batch_pipeline():
+    rng = np.random.default_rng(0)
+    f = 8
+    mk = lambda: rng.standard_normal((f, 4, 192, 256)).astype(np.float32)
+    hr, hi, vr, vi = mk(), mk(), mk(), mk()
+
+    model = HuPRNet(num_filters=2)
+    ex = jnp.zeros((1, 8, 8, 2, 64, 64, 8), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), ex, ex)
+
+    run = make_e2e_infer(model, variables, duration=f)
+    batch_pred, batch_max = run(hr, hi, vr, vi)
+    batch_pred = np.asarray(batch_pred)          # (F, K, 2)
+
+    est = StreamingPoseEstimator(model, variables)
+    lag = est.latency_frames
+    stream_preds = []
+    for t in range(f):
+        pred, _ = est.process_frame((hr[t], hi[t]), (vr[t], vi[t]))
+        if t >= lag:
+            stream_preds.append(pred)            # pose for frame t - lag
+    for pred, _ in est.flush():
+        stream_preds.append(pred)
+
+    assert len(stream_preds) == f
+    # skip the first frames (start-of-sequence warmup uses the same clamp so
+    # they should match too) — compare all of them
+    for i in range(f):
+        np.testing.assert_allclose(stream_preds[i], batch_pred[i])
+
+
+def test_streaming_reset():
+    model = HuPRNet(num_filters=2)
+    ex = jnp.zeros((1, 8, 8, 2, 64, 64, 8), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), ex, ex)
+    est = StreamingPoseEstimator(model, variables)
+    rng = np.random.default_rng(1)
+    fr = rng.standard_normal((4, 192, 256)).astype(np.float32)
+    p1, _ = est.process_frame((fr, fr), (fr, fr))
+    est.reset()
+    p2, _ = est.process_frame((fr, fr), (fr, fr))
+    np.testing.assert_allclose(p1, p2)
