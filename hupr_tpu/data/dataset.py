@@ -300,3 +300,39 @@ class BatchLoader:
 def get_dataset(phase: str, cfg, sampling_ratio: int = 1, **kw) -> HuPRDataset:
     """Reference getDataset equivalent (datasets/dataset.py:14-15)."""
     return HuPRDataset(phase, cfg, sampling_ratio=sampling_ratio, **kw)
+
+
+# ---- reference-surface compatibility helpers (datasets/base.py:10-11,
+# 115-137) and camelCase aliases for code written against the reference ----
+
+IMG_EXTENSIONS = ['.jpg', '.JPG', '.jpeg', '.JPEG', '.png', '.PNG',
+                  '.ppm', '.PPM', '.bmp', '.BMP', '.npy', '.txt']
+
+
+def is_image_file(filename: str) -> bool:
+    return any(filename.endswith(ext) for ext in IMG_EXTENSIONS)
+
+
+def get_paths(data_dir_group, dir_group, mode, frame_group):
+    """Enumerate per-frame .npy paths (reference BaseDataset.getPaths)."""
+    paths = []
+    for i, data_dir in enumerate(data_dir_group):
+        for dir_name in dir_group[i]:
+            for frame in frame_group:
+                paths.append(os.path.join(data_dir, dir_name, mode,
+                                          frame + ".npy"))
+    return paths
+
+
+def get_annots(data_dir_group, dir_group, mode, file_name):
+    """Concatenate annotation JSONs (reference BaseDataset.getAnnots)."""
+    annots = []
+    for i, data_dir in enumerate(data_dir_group):
+        for dir_name in dir_group[i]:
+            with open(os.path.join(data_dir, dir_name, mode, file_name)) as fp:
+                annots.extend(json.load(fp))
+    return annots
+
+
+HuPRDataset.evaluateEach = HuPRDataset.evaluate_each
+getDataset = get_dataset
