@@ -47,6 +47,12 @@ def load_checkpoint(path: str, state):
     (state, epoch, accuracy)."""
     with open(path, "rb") as fp:
         payload = pickle.load(fp)
+    if not payload.get("opt_state"):
+        # weights-only checkpoint (e.g. converted from a reference .pth):
+        # keep the fresh optimizer state from the template
+        payload = dict(payload)
+        payload["opt_state"] = serialization.to_state_dict(
+            _to_host(state.opt_state))
     template = {
         "params": _to_host(state.params),
         "batch_stats": _to_host(state.batch_stats),

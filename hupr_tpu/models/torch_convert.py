@@ -129,6 +129,36 @@ def convert_state_dict(sd) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def main():
+    """CLI: python -m hupr_tpu.models.torch_convert model_best.pth out.ckpt
+    — convert a reference torch checkpoint into the native format that
+    Runner.load_model_weight / engine.checkpoint.load_checkpoint read."""
+    import argparse
+    import pickle
+
+    from flax import serialization
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("src", help="reference .pth checkpoint")
+    ap.add_argument("dst", help="output .ckpt path")
+    args = ap.parse_args()
+
+    ckpt = convert_torch_checkpoint(args.src)
+    payload = {
+        "params": ckpt["variables"]["params"],
+        "batch_stats": ckpt["variables"]["batch_stats"],
+        "opt_state": {},   # torch Adam state is not portable
+        "step": 0,
+        "epoch": int(ckpt["epoch"]),
+        "accuracy": float(ckpt["accuracy"]) if ckpt["accuracy"] is not None
+                    else -1.0,
+    }
+    with open(args.dst, "wb") as fp:
+        pickle.dump(serialization.to_state_dict(payload), fp)
+    print(f"wrote {args.dst} (epoch {payload['epoch']}, "
+          f"accuracy {payload['accuracy']})")
+
+
 def convert_torch_checkpoint(path: str) -> dict:
     """Load a reference .pth and return {'variables', 'epoch', 'accuracy'}."""
     import torch
@@ -141,3 +171,7 @@ def convert_torch_checkpoint(path: str) -> dict:
         "epoch": ckpt.get("epoch", -1) if isinstance(ckpt, dict) else -1,
         "accuracy": ckpt.get("accuracy", None) if isinstance(ckpt, dict) else None,
     }
+
+
+if __name__ == "__main__":
+    main()
