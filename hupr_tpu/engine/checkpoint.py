@@ -27,19 +27,36 @@ def _to_host(tree):
     return jax.tree.map(lambda a: np.asarray(a), tree)
 
 
+def _write_payload(path: str, payload: dict):
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fp:
+        pickle.dump(serialization.to_state_dict(payload), fp)
+    os.replace(tmp, path)
+
+
 def save_checkpoint(path: str, state, epoch: int, accuracy: float):
-    payload = {
+    _write_payload(path, {
         "params": _to_host(state.params),
         "batch_stats": _to_host(state.batch_stats),
         "opt_state": _to_host(state.opt_state),
         "step": int(state.step),
         "epoch": int(epoch),
         "accuracy": float(accuracy) if accuracy is not None else -1.0,
-    }
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as fp:
-        pickle.dump(serialization.to_state_dict(payload), fp)
-    os.replace(tmp, path)
+    })
+
+
+def save_weights_only_checkpoint(path: str, variables: dict,
+                                 accuracy: float = -1.0):
+    """Checkpoint carrying model weights but no optimizer/progress state
+    (epoch 0, empty opt_state — load_checkpoint substitutes a fresh one)."""
+    _write_payload(path, {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+        "opt_state": {},
+        "step": 0,
+        "epoch": 0,
+        "accuracy": float(accuracy),
+    })
 
 
 def load_checkpoint(path: str, state):

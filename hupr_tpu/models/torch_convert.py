@@ -134,9 +134,8 @@ def main():
     — convert a reference torch checkpoint into the native format that
     Runner.load_model_weight / engine.checkpoint.load_checkpoint read."""
     import argparse
-    import pickle
 
-    from flax import serialization
+    from hupr_tpu.engine.checkpoint import save_weights_only_checkpoint
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("src", help="reference .pth checkpoint")
@@ -144,25 +143,20 @@ def main():
     args = ap.parse_args()
 
     ckpt = convert_torch_checkpoint(args.src)
-    payload = {
-        "params": ckpt["variables"]["params"],
-        "batch_stats": ckpt["variables"]["batch_stats"],
-        "opt_state": {},   # torch Adam state is not portable
-        "step": 0,
-        "epoch": int(ckpt["epoch"]),
-        "accuracy": float(ckpt["accuracy"]) if ckpt["accuracy"] is not None
-                    else -1.0,
-    }
-    with open(args.dst, "wb") as fp:
-        pickle.dump(serialization.to_state_dict(payload), fp)
-    print(f"wrote {args.dst} (epoch {payload['epoch']}, "
-          f"accuracy {payload['accuracy']})")
+    acc = float(ckpt["accuracy"]) if ckpt["accuracy"] is not None else -1.0
+    # epoch 0: the converted file carries weights only (no optimizer state),
+    # so it must not act as a training resume point
+    save_weights_only_checkpoint(args.dst, ckpt["variables"], accuracy=acc)
+    print(f"wrote {args.dst} (weights-only; source epoch {ckpt['epoch']}, "
+          f"accuracy {acc})")
 
 
 def convert_torch_checkpoint(path: str) -> dict:
     """Load a reference .pth and return {'variables', 'epoch', 'accuracy'}."""
     import torch
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    # reference checkpoints are plain tensor/scalar dicts; weights_only=True
+    # avoids executing arbitrary pickled code from untrusted .pth files
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
     sd = ckpt["model_state_dict"] if "model_state_dict" in ckpt else ckpt
     # strip DataParallel prefixes if present
     sd = { (k[7:] if k.startswith("module.") else k): v for k, v in sd.items() }
