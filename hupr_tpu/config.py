@@ -93,17 +93,9 @@ class Config:
 
 def _build(dc_type, d: dict):
     """Build a dataclass from a dict, keeping schema-compatible unknown keys out."""
-    names = {f.name: f for f in dataclasses.fields(dc_type)}
-    kwargs = {}
-    for k, v in d.items():
-        if k not in names:
-            continue  # tolerate extra keys like the reference's attr-object does
-        f = names[k]
-        if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
-            kwargs[k] = _build(f.type, v)
-        else:
-            kwargs[k] = v
-    return dc_type(**kwargs)
+    names = {f.name for f in dataclasses.fields(dc_type)}
+    # unknown keys are tolerated like the reference's attr-object does
+    return dc_type(**{k: v for k, v in d.items() if k in names})
 
 
 def config_from_dict(d: dict) -> Config:

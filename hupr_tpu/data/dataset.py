@@ -280,11 +280,14 @@ class BatchLoader:
     def __iter__(self) -> Iterator[dict]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         done = object()
+        failure: list = []
 
         def worker():
             try:
                 for b in self._batches():
                     q.put(b)
+            except BaseException as exc:  # propagate to the consumer
+                failure.append(exc)
             finally:
                 q.put(done)
 
@@ -293,6 +296,8 @@ class BatchLoader:
         while True:
             item = q.get()
             if item is done:
+                if failure:
+                    raise failure[0]
                 break
             yield item
 

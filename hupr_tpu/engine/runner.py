@@ -86,9 +86,10 @@ class Runner:
         self.test_loader = BatchLoader(self.test_set, cfg.TEST.batchSize,
                                        shuffle=False, seed=args.seed)
 
-        # warmup LR back-computation (run.py:30-32)
+        # warmup LR back-computation (run.py:30-32); eval mode has no train
+        # loader and never steps the optimizer, so plain lr suffices there
         t = cfg.TRAINING
-        if t.warmupEpoch == -1:
+        if t.warmupEpoch == -1 or self.train_loader is None:
             self.lr = t.lr
         else:
             step_size = len(self.train_loader) * t.warmupEpoch

@@ -85,8 +85,11 @@ def _losses(model, params, batch_stats, batch, train: bool):
 
     main = heatmap.reshape(-1, k, h, h)
     refined = gcn.reshape(-1, k, h, h)
-    loss1 = bce_loss(main, targets)
-    loss2 = bce_loss(refined, targets)
+    # rows padded by parallel.shard_batch (non-device-divisible batches)
+    # carry mask 0 so they do not weight the loss
+    mask = batch.get("mask")
+    loss1 = bce_loss(main, targets, mask)
+    loss2 = bce_loss(refined, targets, mask)
     return loss1, loss2, refined, targets, gt2d, new_stats
 
 

@@ -96,29 +96,42 @@ def get_max_preds(batch_heatmaps: jnp.ndarray):
 
 
 @jax.custom_vjp
-def bce_loss(probs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
-    """Mean binary cross-entropy on probabilities with torch nn.BCELoss
-    semantics (used at misc/losses.py:47-48): forward clamps log at -100;
-    backward clamps the p(1-p) denominator at 1e-12 so saturated sigmoid
-    outputs yield large-but-finite gradients instead of inf/NaN."""
+def bce_elements(probs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise binary cross-entropy on probabilities with torch
+    nn.BCELoss numerics: forward clamps log at -100; backward clamps the
+    p(1-p) denominator at 1e-12 so saturated sigmoid outputs yield
+    large-but-finite gradients instead of inf/NaN."""
     log_p = jnp.maximum(jnp.log(probs), -100.0)
     log_1p = jnp.maximum(jnp.log(1.0 - probs), -100.0)
-    return -jnp.mean(targets * log_p + (1.0 - targets) * log_1p)
+    return -(targets * log_p + (1.0 - targets) * log_1p)
 
 
 def _bce_fwd(probs, targets):
-    return bce_loss(probs, targets), (probs, targets)
+    return bce_elements(probs, targets), (probs, targets)
 
 
 def _bce_bwd(res, g):
     probs, targets = res
     denom = jnp.maximum(probs * (1.0 - probs), 1e-12)
-    n = probs.size
-    dp = g * (probs - targets) / denom / n
+    dp = g * (probs - targets) / denom
     # d/dtarget of -(t log p + (1-t) log(1-p)) with the forward's log clamp
     dt = g * (jnp.maximum(jnp.log(1.0 - probs), -100.0)
-              - jnp.maximum(jnp.log(probs), -100.0)) / n
+              - jnp.maximum(jnp.log(probs), -100.0))
     return dp, dt
 
 
-bce_loss.defvjp(_bce_fwd, _bce_bwd)
+bce_elements.defvjp(_bce_fwd, _bce_bwd)
+
+
+def bce_loss(probs: jnp.ndarray, targets: jnp.ndarray,
+             sample_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Mean BCE (torch nn.BCELoss, misc/losses.py:47-48). With `sample_mask`
+    (B,) the mean runs over unmasked samples only — used to neutralize the
+    rows shard_batch pads onto non-device-divisible batches."""
+    elems = bce_elements(probs, targets)
+    if sample_mask is None:
+        return jnp.mean(elems)
+    w = sample_mask.reshape((-1,) + (1,) * (elems.ndim - 1))
+    per_sample = elems.shape[0]
+    inner = elems.size // per_sample
+    return jnp.sum(elems * w) / (jnp.sum(sample_mask) * inner)

@@ -48,12 +48,17 @@ def _pad_to_multiple(arr: np.ndarray, n: int) -> np.ndarray:
 
 def shard_batch(batch: dict, mesh: Mesh) -> tuple[dict, int]:
     """device_put every leaf with its leading axis split over the data axis.
-    Returns (sharded_batch, true_batch_size)."""
+    Non-divisible batches are padded by repeating the last sample; a "mask"
+    leaf (1.0 real / 0.0 padded) lets the loss ignore the padding. Returns
+    (sharded_batch, true_batch_size)."""
     n = mesh.devices.size
     true_b = next(iter(batch.values())).shape[0]
     sharding = batch_sharding(mesh)
     out = {k: jax.device_put(_pad_to_multiple(np.asarray(v), n), sharding)
            for k, v in batch.items()}
+    padded_b = true_b + ((-true_b) % n)
+    mask = (np.arange(padded_b) < true_b).astype(np.float32)
+    out["mask"] = jax.device_put(mask, sharding)
     return out, true_b
 
 

@@ -63,6 +63,29 @@ def test_shard_batch_pads_remainders():
     sharded, true_b = shard_batch(batch, mesh)
     assert true_b == 5
     assert sharded["hori"].shape[0] == 8  # padded to the device count
-    # padded rows replicate the last sample
+    # padded rows replicate the last sample and are masked out
     np.testing.assert_allclose(np.asarray(sharded["hori"][7]),
                                batch["hori"][4])
+    np.testing.assert_allclose(np.asarray(sharded["mask"]),
+                               [1, 1, 1, 1, 1, 0, 0, 0])
+
+
+def test_padded_batch_loss_matches_unpadded():
+    """The mask must make a padded remainder batch produce exactly the
+    unpadded batch's loss (shard_batch padding otherwise over-weights the
+    repeated last sample)."""
+    cfg = _cfg()
+    model = build_model(cfg)
+    tx = make_optimizer(cfg)
+    step = make_train_step(model, tx)
+    mesh = make_mesh()
+
+    batch5 = _batch(b=5, seed=7)
+    state = init_state(model, cfg, jax.random.PRNGKey(0))
+    _, m_ref = step(state, batch5, 1e-4, 0.0)  # unpadded single-device
+
+    sharded, _ = shard_batch(batch5, mesh)     # padded to 8 across devices
+    state8 = init_state(model, cfg, jax.random.PRNGKey(0))
+    state8 = replicate_state(state8, mesh)
+    _, m_pad = step(state8, sharded, 1e-4, 0.0)
+    assert np.isclose(float(m_ref["loss"]), float(m_pad["loss"]), atol=1e-5)
