@@ -70,9 +70,11 @@ class Runner:
         self.tx = make_optimizer(cfg)
         self.state = init_state(self.model, cfg, jax.random.PRNGKey(args.seed))
         self.state = replicate_state(self.state, self.mesh)
+        geometry = (d.numKeypoints, d.heatmapSize, d.imgSize)
         self.train_step = make_train_step(self.model, self.tx,
-                                          cfg.TRAINING.lossDecay)
-        self.eval_step = make_eval_step(self.model, cfg.TRAINING.lossDecay)
+                                          cfg.TRAINING.lossDecay, geometry)
+        self.eval_step = make_eval_step(self.model, cfg.TRAINING.lossDecay,
+                                        geometry)
 
         if not args.eval:
             self.train_set = get_dataset("train", cfg, args.sampling_ratio)
@@ -94,7 +96,10 @@ class Runner:
         else:
             step_size = len(self.train_loader) * t.warmupEpoch
             self.lr = t.lr / (t.warmupGrowth ** step_size)
-        self.alpha = 0.0  # loss annealing weight (lossDecay mode)
+        # loss-annealing weight; the reference's LossComputer advances it
+        # BEFORE combining losses, on every computeLoss call — train AND
+        # eval batches alike (misc/losses.py:36-42); beta == 1 - alpha exactly
+        self.alpha = 0.0
 
         self.logger = Logger()
         if not args.eval:
@@ -109,6 +114,12 @@ class Runner:
             self.lr *= t.warmupGrowth
         else:
             self.lr *= t.lrDecay
+
+    def advance_alpha(self):
+        """Advance the annealing weight exactly as the reference does at the
+        top of every computeLoss call (misc/losses.py:36-38)."""
+        if self.alpha < 1.0:
+            self.alpha += self.cfg.TRAINING.lossDecay
 
     # ---------------- checkpoints ----------------
 
@@ -186,11 +197,13 @@ class Runner:
         loss_list = []
         save_preds: list = []
         self.logger.clear(len(self.test_set))
-        for device_batch, batch, true_b in device_prefetch(self.test_loader,
-                                                           self.mesh):
+        for device_batch, batch, true_b in device_prefetch(
+                self.test_loader, self.mesh,
+                pad_to=self.cfg.TEST.batchSize):
             image_ids = batch["imageId"]
             bbox = batch["bbox"]
-            out = self.eval_step(self.state, device_batch)
+            self.advance_alpha()
+            out = self.eval_step(self.state, device_batch, self.alpha)
             pred2d = np.asarray(out["pred2d"])[:true_b]
             loss = float(out["loss"])
             self.logger.display(loss, float(out["loss2"]), true_b, epoch)
@@ -214,11 +227,11 @@ class Runner:
             loss_list = []
             self.logger.clear(len(self.train_set))
             for idx_batch, (device_batch, _, true_b) in enumerate(
-                    device_prefetch(self.train_loader, self.mesh)):
+                    device_prefetch(self.train_loader, self.mesh,
+                                    pad_to=t.batchSize)):
+                self.advance_alpha()
                 self.state, metrics = self.train_step(
                     self.state, device_batch, self.lr, self.alpha)
-                if t.lossDecay != -1 and self.alpha < 1.0:
-                    self.alpha += t.lossDecay
                 loss = float(metrics["loss"])
                 self.logger.display(loss, float(metrics["loss2"]), true_b,
                                     epoch)

@@ -67,16 +67,23 @@ def init_state(model, cfg, rng, example_batch=None) -> TrainState:
     )
 
 
-def _losses(model, params, batch_stats, batch, train: bool):
+def _losses(model, params, batch_stats, batch, train: bool,
+            geometry=(14, 64, 256)):
     hori = normalize_radar_window(batch["hori"])
     vert = normalize_radar_window(batch["vert"])
-    targets, gt2d = generate_target_batch(batch["jointsGroup"])
+    num_keypoints, heatmap_size, img_size = geometry
+    targets, gt2d = generate_target_batch(
+        batch["jointsGroup"], num_keypoints=num_keypoints,
+        heatmap_size=heatmap_size, img_size=img_size)
     k, h = targets.shape[1], targets.shape[2]
+    # rows padded by parallel.shard_batch (non-device-divisible batches)
+    # carry mask 0: excluded from the loss means AND from train-mode BN stats
+    mask = batch.get("mask")
 
     if train:
         (heatmap, gcn), mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            hori, vert, train=True, mutable=["batch_stats"])
+            hori, vert, train=True, row_mask=mask, mutable=["batch_stats"])
         new_stats = mutated["batch_stats"]
     else:
         heatmap, gcn = model.apply(
@@ -85,26 +92,28 @@ def _losses(model, params, batch_stats, batch, train: bool):
 
     main = heatmap.reshape(-1, k, h, h)
     refined = gcn.reshape(-1, k, h, h)
-    # rows padded by parallel.shard_batch (non-device-divisible batches)
-    # carry mask 0 so they do not weight the loss
-    mask = batch.get("mask")
     loss1 = bce_loss(main, targets, mask)
     loss2 = bce_loss(refined, targets, mask)
     return loss1, loss2, refined, targets, gt2d, new_stats
 
 
-def make_train_step(model, tx, loss_decay: float = -1.0):
+def make_train_step(model, tx, loss_decay: float = -1.0,
+                    geometry=(14, 64, 256)):
     """Returns jitted train_step(state, batch, lr, alpha) -> (state, metrics).
 
     alpha only matters when lossDecay != -1 (loss annealing,
-    misc/losses.py:36-42); the default combines loss1 + loss2.
+    misc/losses.py:36-42); the default combines loss1 + loss2. The caller
+    (Runner) advances alpha BEFORE each step — the reference increments
+    inside computeLoss prior to combining the losses (losses.py:36-40).
+    `geometry` = (numKeypoints, heatmapSize, imgSize) from cfg.DATASET.
     """
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, lr, alpha):
         def loss_fn(params):
             loss1, loss2, _, _, _, new_stats = _losses(
-                model, params, state.batch_stats, batch, train=True)
+                model, params, state.batch_stats, batch, train=True,
+                geometry=geometry)
             if loss_decay != -1.0:
                 loss = alpha * loss1 + (1.0 - alpha) * loss2
             else:
@@ -124,16 +133,22 @@ def make_train_step(model, tx, loss_decay: float = -1.0):
     return train_step
 
 
-def make_eval_step(model, loss_decay: float = -1.0):
-    """Returns jitted eval_step(state, batch) -> metrics with decoded 2D
-    predictions from the GCN heatmap (the reference decodes preds2:
-    misc/losses.py:43-44)."""
+def make_eval_step(model, loss_decay: float = -1.0, geometry=(14, 64, 256)):
+    """Returns jitted eval_step(state, batch, alpha) -> metrics with decoded
+    2D predictions from the GCN heatmap (the reference decodes preds2:
+    misc/losses.py:43-44). The reference's LossComputer advances its
+    annealing alpha on EVERY computeLoss call — eval batches included
+    (losses.py:36-42) — so eval also takes the caller-advanced alpha."""
 
-    @jax.jit
-    def eval_step(state: TrainState, batch):
+    @partial(jax.jit, donate_argnums=())
+    def eval_step(state: TrainState, batch, alpha=0.0):
         loss1, loss2, refined, targets, gt2d, _ = _losses(
-            model, state.params, state.batch_stats, batch, train=False)
-        loss = loss1 + loss2
+            model, state.params, state.batch_stats, batch, train=False,
+            geometry=geometry)
+        if loss_decay != -1.0:
+            loss = alpha * loss1 + (1.0 - alpha) * loss2
+        else:
+            loss = loss1 + loss2
         pred2d, maxvals = get_max_preds(refined)
         gt_dec, _ = get_max_preds(targets)
         return {"loss": loss, "loss1": loss1, "loss2": loss2,

@@ -50,7 +50,7 @@ class TorchBatchNorm(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, row_mask=None):
         features = x.shape[-1]
         scale = self.param("scale", lambda k, s: jnp.ones(s, jnp.float32),
                            (features,))
@@ -67,12 +67,26 @@ class TorchBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             axes = tuple(range(x.ndim - 1))
-            n = np.prod([x.shape[a] for a in axes])
             xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=axes)
-            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            if row_mask is None:
+                n = np.prod([x.shape[a] for a in axes])
+                mean = jnp.mean(xf, axis=axes)
+                var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+                bias_fix = n / max(n - 1, 1)
+            else:
+                # batch rows padded by parallel.shard_batch (mask 0) must not
+                # leak into the batch statistics: the reference normalizes
+                # over the true batch only (single-device torch BN)
+                w = row_mask.astype(jnp.float32).reshape(
+                    (-1,) + (1,) * (x.ndim - 1))
+                inner = np.prod(x.shape[1:-1]) if x.ndim > 2 else 1
+                n = jnp.sum(row_mask.astype(jnp.float32)) * inner
+                mean = jnp.sum(xf * w, axis=axes) / n
+                var = jnp.sum(jnp.square(xf) * w, axis=axes) / n \
+                    - jnp.square(mean)
+                bias_fix = n / jnp.maximum(n - 1.0, 1.0)
             if not self.is_initializing():
-                unbiased = var * (n / max(n - 1, 1))
+                unbiased = var * bias_fix
                 m = self.momentum
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
@@ -116,7 +130,7 @@ class BasicBlock(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, row_mask=None):
         k = (3,) * self.ndim
         bn = partial(TorchBatchNorm, use_running_average=not train,
                      momentum=0.1, epsilon=1e-5, dtype=self.dtype)
@@ -124,7 +138,7 @@ class BasicBlock(nn.Module):
         h = conv(self.out_channels, k, self.in_channels, padding=1,
                  use_bias=False, name="conv1", dtype=self.dtype)(x)
         if self.batchnorm:
-            h = bn(name="bn1")(h)
+            h = bn(name="bn1")(h, row_mask)
         if self.activation == "prelu":
             h = PReLU(name="act1")(h)
         else:
@@ -132,12 +146,12 @@ class BasicBlock(nn.Module):
         h = conv(self.out_channels, k, self.out_channels, padding=1,
                  use_bias=False, name="conv2", dtype=self.dtype)(h)
         if self.batchnorm:
-            h = bn(name="bn2")(h)
+            h = bn(name="bn2")(h, row_mask)
 
         res = conv(self.out_channels, k, self.in_channels, padding=1,
                    use_bias=False, name="downsample", dtype=self.dtype)(x)
         if self.batchnorm:
-            res = bn(name="bn_down")(res)
+            res = bn(name="bn_down")(res, row_mask)
 
         out = h + res
         if self.activation == "prelu":

@@ -22,7 +22,7 @@ class Encoder3D(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, row_mask=None):
         f, g = self.num_filters, self.num_group_frames
         bb = lambda cin, cout, name: BasicBlock(
             cin, cout, ndim=3, batchnorm=self.batchnorm, dtype=self.dtype, name=name)
@@ -30,17 +30,17 @@ class Encoder3D(nn.Module):
         # layer1: Conv3d(F->2F, 3,1,1) + BasicBlock3D(2F->2F)
         l1 = conv(f * 2, (3, 3, 3), f, padding=1, name="layer1_conv",
                   dtype=self.dtype)(x)
-        l1 = bb(f * 2, f * 2, "layer1_block")(l1, train)
+        l1 = bb(f * 2, f * 2, "layer1_block")(l1, train, row_mask)
 
         # layer2: trilinear x0.5 downsample + 2 blocks to 4F
         l2 = scale_by_factor(l1, 0.5, axes=(1, 2, 3))
-        l2 = bb(f * 2, f * 4, "layer2_block1")(l2, train)
-        l2 = bb(f * 4, f * 4, "layer2_block2")(l2, train)
+        l2 = bb(f * 2, f * 4, "layer2_block1")(l2, train, row_mask)
+        l2 = bb(f * 4, f * 4, "layer2_block2")(l2, train, row_mask)
 
         # layer3: trilinear x0.5 downsample + 2 blocks to 8F
         l3 = scale_by_factor(l2, 0.5, axes=(1, 2, 3))
-        l3 = bb(f * 4, f * 8, "layer3_block1")(l3, train)
-        l3 = bb(f * 8, f * 8, "layer3_block2")(l3, train)
+        l3 = bb(f * 4, f * 8, "layer3_block1")(l3, train, row_mask)
+        l3 = bb(f * 8, f * 8, "layer3_block2")(l3, train, row_mask)
 
         # temporal merge: Conv3d kernel (T,1,1), no padding, bias-free ->
         # collapses the frame axis; squeeze to 2D (B, H, W, C)

@@ -76,10 +76,13 @@ class HuPRNet(nn.Module):
         r, a = ra.shape[1], ra.shape[2]
         return ra.reshape(b, g, r, a, f), re.reshape(b, g, r, a, f)
 
-    def pose_from_maps(self, ra, re, train: bool = False):
-        """(B, G, R, A, F) chirp maps x2 -> (heatmap, gcn_heatmap)."""
-        ra_l1, ra_l2, ra_l3 = self.RAradarEncoder(ra, train)
-        re_l1, re_l2, re_l3 = self.REradarEncoder(re, train)
+    def pose_from_maps(self, ra, re, train: bool = False, row_mask=None):
+        """(B, G, R, A, F) chirp maps x2 -> (heatmap, gcn_heatmap).
+
+        `row_mask` (B,) marks rows padded by parallel.shard_batch with 0 so
+        train-mode BatchNorm statistics cover only real samples."""
+        ra_l1, ra_l2, ra_l3 = self.RAradarEncoder(ra, train, row_mask)
+        re_l1, re_l2, re_l3 = self.REradarEncoder(re, train, row_mask)
         logits, gcn = self.radarDecoder(ra_l1, ra_l2, ra_l3,
                                         re_l1, re_l2, re_l3, train)
 
@@ -89,9 +92,10 @@ class HuPRNet(nn.Module):
         gcn = jnp.transpose(gcn, (0, 3, 1, 2))[:, None]
         return heatmap, gcn
 
-    def __call__(self, vrdae_hori, vrdae_vert, train: bool = False):
+    def __call__(self, vrdae_hori, vrdae_vert, train: bool = False,
+                 row_mask=None):
         ra, re = self.chirp_maps(vrdae_hori, vrdae_vert)
-        return self.pose_from_maps(ra, re, train)
+        return self.pose_from_maps(ra, re, train, row_mask)
 
 
 def build_model(cfg, train_dtype=None) -> HuPRNet:

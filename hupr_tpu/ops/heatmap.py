@@ -39,11 +39,14 @@ def generate_target(joints: jnp.ndarray, num_keypoints: int, heatmap_size: int,
     tmp_size = tmp_flat[:, None, None]
     feat_stride = img_size / heatmap_size
 
+    # the reference casts with int(), which truncates toward zero — NOT
+    # floor: int(-0.25) == 0 (off-image negative joints shift one bin
+    # under floor; misc/utils.py:33-38)
     if is_coord:
-        mu = jnp.floor(joints[:, :2].astype(jnp.float32) * heatmap_size
+        mu = jnp.trunc(joints[:, :2].astype(jnp.float32) * heatmap_size
                        ).astype(jnp.int32)
     else:
-        mu = jnp.floor(joints[:, :2].astype(jnp.float32) / feat_stride + 0.5
+        mu = jnp.trunc(joints[:, :2].astype(jnp.float32) / feat_stride + 0.5
                        ).astype(jnp.int32)
     mu_x = mu[:, 0][:, None, None]          # (K,1,1)
     mu_y = mu[:, 1][:, None, None]

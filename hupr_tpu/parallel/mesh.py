@@ -34,29 +34,34 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _pad_to_multiple(arr: np.ndarray, n: int) -> np.ndarray:
-    """Pad the batch axis to a device-count multiple (remainder batches at
-    epoch end keep a static per-device shape; padded rows are sliced off by
-    the caller using the true batch size)."""
-    b = arr.shape[0]
-    rem = (-b) % n
+def _pad_batch_axis(arr: np.ndarray, target: int) -> np.ndarray:
+    """Pad the batch axis to `target` rows by repeating the last sample
+    (remainder batches keep a static per-device shape; padded rows are
+    masked out of loss/BN-stats and sliced off by the caller)."""
+    rem = target - arr.shape[0]
     if rem == 0:
         return arr
     pad = np.repeat(arr[-1:], rem, axis=0)
     return np.concatenate([arr, pad], axis=0)
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> tuple[dict, int]:
+def shard_batch(batch: dict, mesh: Mesh,
+                pad_to: Optional[int] = None) -> tuple[dict, int]:
     """device_put every leaf with its leading axis split over the data axis.
     Non-divisible batches are padded by repeating the last sample; a "mask"
-    leaf (1.0 real / 0.0 padded) lets the loss ignore the padding. Returns
+    leaf (1.0 real / 0.0 padded) lets the loss and train-mode BN statistics
+    ignore the padding. `pad_to` additionally pads every batch up to a fixed
+    size (the configured batchSize) so XLA compiles ONE program per phase
+    instead of one per distinct remainder size. Returns
     (sharded_batch, true_batch_size)."""
     n = mesh.devices.size
     true_b = next(iter(batch.values())).shape[0]
+    target = max(true_b, pad_to or 0)
+    padded_b = target + ((-target) % n)
     sharding = batch_sharding(mesh)
-    out = {k: jax.device_put(_pad_to_multiple(np.asarray(v), n), sharding)
+    out = {k: jax.device_put(_pad_batch_axis(np.asarray(v), padded_b),
+                             sharding)
            for k, v in batch.items()}
-    padded_b = true_b + ((-true_b) % n)
     mask = (np.arange(padded_b) < true_b).astype(np.float32)
     out["mask"] = jax.device_put(mask, sharding)
     return out, true_b
@@ -67,7 +72,8 @@ def replicate_state(state, mesh: Mesh):
 
 
 def device_prefetch(batch_iter, mesh: Mesh, keys=("hori", "vert",
-                                                  "jointsGroup")):
+                                                  "jointsGroup"),
+                    pad_to: Optional[int] = None):
     """Double-buffer host batches onto the device: batch i+1 transfers while
     the step for batch i runs (JAX dispatch is async, so yielding immediately
     after device_put overlaps transfer with compute).
@@ -75,7 +81,7 @@ def device_prefetch(batch_iter, mesh: Mesh, keys=("hori", "vert",
     Yields (device_batch, host_batch, true_batch_size)."""
     pending = None
     for batch in batch_iter:
-        nxt = (shard_batch({k: batch[k] for k in keys}, mesh), batch)
+        nxt = (shard_batch({k: batch[k] for k in keys}, mesh, pad_to), batch)
         if pending is not None:
             (dev, true_b), host = pending
             yield dev, host, true_b

@@ -52,6 +52,18 @@ def test_generate_target_matches_oracle():
         np.testing.assert_allclose(np.asarray(peaks[b]), want_p)
 
 
+def test_generate_target_negative_coords_truncate_toward_zero():
+    """Off-image negative annotations: the reference's int() truncates toward
+    zero (int(-0.25) == 0) where floor would shift the Gaussian one bin
+    (misc/utils.py:37-38)."""
+    joints = np.array([[[-1, -1], [-3, 10], [10, -3], [-30, -30],
+                        [-200, 128]] + [[50, 50]] * 9], dtype=np.float64)
+    tgt, peaks = generate_target_batch(jnp.asarray(joints))
+    want_t, want_p = oracle_generate_target(joints[0], 14, 64, 256)
+    np.testing.assert_allclose(np.asarray(tgt[0]), want_t, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(peaks[0]), want_p)
+
+
 def test_get_max_preds_matches_reference_semantics():
     rng = np.random.default_rng(4)
     hm = rng.standard_normal((3, 14, 64, 64)).astype(np.float32)

@@ -89,3 +89,44 @@ def test_padded_batch_loss_matches_unpadded():
     state8 = replicate_state(state8, mesh)
     _, m_pad = step(state8, sharded, 1e-4, 0.0)
     assert np.isclose(float(m_ref["loss"]), float(m_pad["loss"]), atol=1e-5)
+
+
+def test_padded_batch_train_step_matches_unpadded_exactly():
+    """Padded rows must not leak into BatchNorm batch statistics either
+    (mask-weighted BN): after one train step, params AND BN running stats
+    of the padded 8-row batch match the unpadded 5-row single-device step."""
+    cfg = _cfg()
+    model = build_model(cfg)
+    tx = make_optimizer(cfg)
+    step = make_train_step(model, tx)
+    mesh = make_mesh()
+
+    batch5 = _batch(b=5, seed=11)
+    state_ref = init_state(model, cfg, jax.random.PRNGKey(3))
+    state_ref, _ = step(state_ref, batch5, 1e-4, 0.0)
+
+    sharded, _ = shard_batch(batch5, mesh)
+    state_pad = init_state(model, cfg, jax.random.PRNGKey(3))
+    state_pad = replicate_state(state_pad, mesh)
+    state_pad, _ = step(state_pad, sharded, 1e-4, 0.0)
+
+    for a, b in zip(jax.tree.leaves(state_ref.batch_stats),
+                    jax.tree.leaves(state_pad.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_ref.params),
+                    jax.tree.leaves(state_pad.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+                                   rtol=1e-5)
+
+
+def test_shard_batch_pad_to_fixed_size():
+    """pad_to=batchSize keeps one static shape per phase (caps eval
+    recompiles); mask still reflects the true rows."""
+    mesh = make_mesh()
+    batch = _batch(b=5)
+    sharded, true_b = shard_batch(batch, mesh, pad_to=16)
+    assert true_b == 5
+    assert sharded["hori"].shape[0] == 16
+    np.testing.assert_allclose(np.asarray(sharded["mask"]),
+                               [1] * 5 + [0] * 11)
