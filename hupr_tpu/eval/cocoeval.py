@@ -143,7 +143,12 @@ class KeypointEvaluator:
 
                 n_gt, n_dt = len(gts_sorted), len(dts)
                 gt_matched = np.zeros((t_count, n_gt), dtype=bool)
-                dt_matched = np.zeros((t_count, n_dt), dtype=bool)
+                # pycocotools semantics (inherited by misc/cocoeval.py):
+                # dtMatches stores the matched GT *id*, and downstream logic
+                # tests truthiness — a gt with id 0 is indistinguishable
+                # from "unmatched" (its detection becomes a false positive).
+                # Replicated exactly; the benchmark's ids are always > 0.
+                dt_match_gtid = np.zeros((t_count, n_dt), dtype=np.int64)
                 dt_ignore = np.zeros((t_count, n_dt), dtype=bool)
                 if ious.size:
                     for ti, thr in enumerate(p.iou_thrs):
@@ -163,16 +168,16 @@ class KeypointEvaluator:
                             if match == -1:
                                 continue
                             dt_ignore[ti, di] = gt_ignore[match]
-                            dt_matched[ti, di] = True
+                            dt_match_gtid[ti, di] = gts_sorted[match]["id"]
                             gt_matched[ti, match] = True
                 # unmatched detections outside the area range are ignored
                 dt_out = np.array([d["_area"] < a_lo or d["_area"] > a_hi
                                    for d in dts], dtype=bool)
-                dt_ignore |= (~dt_matched) & dt_out[None, :]
+                dt_ignore |= (dt_match_gtid == 0) & dt_out[None, :]
 
                 per_img.append({
                     "scores": np.array([d["score"] for d in dts]),
-                    "matched": dt_matched,
+                    "matched": dt_match_gtid != 0,
                     "dt_ignore": dt_ignore,
                     "n_pos": int((~gt_ignore).sum()),
                 })

@@ -34,7 +34,9 @@ def _rand_joints(rng, n=14):
 
 def test_perfect_predictions_ap1():
     rng = np.random.default_rng(0)
-    images = [(i, _rand_joints(rng), (40, 40, 120, 160)) for i in range(5)]
+    # ids start at 1: pycocotools (and the reference) treat gt id 0 as
+    # "unmatched" — see test_cocoeval_differential / test_cocoeval_golden
+    images = [(i, _rand_joints(rng), (40, 40, 120, 160)) for i in range(1, 6)]
     dts = [_det(i, j) for (i, j, _) in images]
     ev = KeypointEvaluator(_gt_dataset(images), dts)
     stats = ev.run(verbose=False)
@@ -98,7 +100,7 @@ def test_area_ranges():
 
 def test_missed_and_spurious_detections():
     rng = np.random.default_rng(4)
-    imgs = [(i, _rand_joints(rng), (40, 40, 120, 160)) for i in range(4)]
+    imgs = [(i, _rand_joints(rng), (40, 40, 120, 160)) for i in range(1, 5)]
     # detect half the images correctly, nothing for the rest
     dts = [_det(i, j) for (i, j, _) in imgs[:2]]
     ev = KeypointEvaluator(_gt_dataset(imgs), dts)

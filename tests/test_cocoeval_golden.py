@@ -1,6 +1,12 @@
 """Golden regression for the OKS evaluator: a fixed multi-image scenario with
 mixed hit/miss/partial detections must keep producing these exact stats.
-Guards future refactors of matching/accumulation against silent drift."""
+Guards future refactors of matching/accumulation against silent drift.
+
+These values are REFERENCE-TRUE, not self-referential:
+test_cocoeval_differential.py::test_golden_scenario_values_are_reference_true
+asserts the reference's own misc/cocoeval.py yields the same numbers on this
+scenario (including the pycocotools gt-id-0-means-unmatched quirk that image
+0 deliberately triggers)."""
 
 import numpy as np
 
@@ -30,10 +36,9 @@ def _scenario():
     return _gt_dataset(images), dets
 
 
-GOLDEN_STATS = [0.6316831683168317, 0.6633663366336634, 0.6633663366336634,
-                0.598019801980198, 0.6633663366336634, 0.6333333333333333,
-                0.6666666666666666, 0.6666666666666666, 0.5999999999999999,
-                0.6666666666666667]
+GOLDEN_STATS = [0.4376237623762376, 0.4628712871287129, 0.4628712871287129,
+                0.26930693069306927, 0.6633663366336634, 0.4666666666666666,
+                0.5, 0.5, 0.26666666666666666, 0.6666666666666667]
 
 
 def test_golden_stats_exact():
