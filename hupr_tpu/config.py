@@ -11,6 +11,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
+import warnings
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -91,20 +92,31 @@ class Config:
     SETUP: SetupConfig = field(default_factory=SetupConfig)
 
 
-def _build(dc_type, d: dict):
-    """Build a dataclass from a dict, keeping schema-compatible unknown keys out."""
+def _build(dc_type, d: dict, section: str):
+    """Build a dataclass from a dict; unknown keys are accepted (the
+    reference's attr-object tolerates anything) but WARNED about, so a
+    typo'd `lrDeacy:` can't silently train with the default."""
     names = {f.name for f in dataclasses.fields(dc_type)}
-    # unknown keys are tolerated like the reference's attr-object does
+    unknown = sorted(set(d) - names)
+    if unknown:
+        warnings.warn(
+            f"config section {section}: unknown key(s) {unknown} ignored "
+            f"(valid keys: {sorted(names)})", stacklevel=3)
     return dc_type(**{k: v for k, v in d.items() if k in names})
 
 
 def config_from_dict(d: dict) -> Config:
+    sections = ("DATASET", "MODEL", "TRAINING", "TEST", "SETUP")
+    unknown = sorted(set(d) - set(sections))
+    if unknown:
+        warnings.warn(f"config: unknown section(s) {unknown} ignored "
+                      f"(valid sections: {list(sections)})", stacklevel=2)
     return Config(
-        DATASET=_build(DatasetConfig, d.get("DATASET", {})),
-        MODEL=_build(ModelConfig, d.get("MODEL", {})),
-        TRAINING=_build(TrainingConfig, d.get("TRAINING", {})),
-        TEST=_build(TestConfig, d.get("TEST", {})),
-        SETUP=_build(SetupConfig, d.get("SETUP", {})),
+        DATASET=_build(DatasetConfig, d.get("DATASET", {}), "DATASET"),
+        MODEL=_build(ModelConfig, d.get("MODEL", {}), "MODEL"),
+        TRAINING=_build(TrainingConfig, d.get("TRAINING", {}), "TRAINING"),
+        TEST=_build(TestConfig, d.get("TEST", {}), "TEST"),
+        SETUP=_build(SetupConfig, d.get("SETUP", {}), "SETUP"),
     )
 
 

@@ -43,10 +43,63 @@ class KeypointEvalParams:
     area_lbls: Sequence[str] = ("all", "medium", "large")
     sigmas: np.ndarray = dataclasses.field(
         default_factory=lambda: HUPR_OKS_SIGMAS.copy())
+    useSegm: Optional[int] = None   # pycocotools-compat, unused here
+
+    # ---- pycocotools Params-compatible aliases (misc/cocoeval.py:498-527):
+    # reference-written code pokes these names (e.g. datasets/dataset.py:53).
+
+    @property
+    def kpt_oks_sigmas(self) -> np.ndarray:
+        return self.sigmas
+
+    @kpt_oks_sigmas.setter
+    def kpt_oks_sigmas(self, v):
+        self.sigmas = np.asarray(v, dtype=np.float64)
+
+    @property
+    def iouThrs(self) -> np.ndarray:
+        return self.iou_thrs
+
+    @iouThrs.setter
+    def iouThrs(self, v):
+        self.iou_thrs = np.asarray(v, dtype=np.float64)
+
+    @property
+    def recThrs(self) -> np.ndarray:
+        return self.rec_thrs
+
+    @recThrs.setter
+    def recThrs(self, v):
+        self.rec_thrs = np.asarray(v, dtype=np.float64)
+
+    @property
+    def maxDets(self) -> list:
+        return [self.max_dets]
+
+    @maxDets.setter
+    def maxDets(self, v):
+        self.max_dets = int(v[-1]) if isinstance(v, (list, tuple)) else int(v)
+
+    @property
+    def areaRng(self) -> list:
+        return [list(r) for r in self.area_rngs]
+
+    @areaRng.setter
+    def areaRng(self, v):
+        self.area_rngs = tuple(tuple(float(x) for x in r) for r in v)
+
+    @property
+    def areaRngLbl(self) -> list:
+        return list(self.area_lbls)
+
+    @areaRngLbl.setter
+    def areaRngLbl(self, v):
+        self.area_lbls = tuple(v)
 
 
-def _kpt_extent_bbox(kpts: np.ndarray):
-    """Detection bbox/area from keypoint extents (misc/coco.py:352-361)."""
+def _kpt_extent_area(kpts: np.ndarray) -> float:
+    """Detection area from keypoint extents (misc/coco.py:352-361; the bbox
+    itself is materialized by coco_api.COCO.loadRes)."""
     x, y = kpts[0::3], kpts[1::3]
     x0, x1, y0, y1 = x.min(), x.max(), y.min(), y.max()
     return (x1 - x0) * (y1 - y0)
@@ -72,7 +125,9 @@ class KeypointEvaluator:
             det.setdefault("id", i + 1)
             kpts = np.asarray(det["keypoints"], dtype=np.float64)
             det["_kpts"] = kpts
-            det["_area"] = _kpt_extent_bbox(kpts)
+            # reference loadRes always (re)derives detection area from the
+            # keypoint extents (misc/coco.py:352-361)
+            det["_area"] = _kpt_extent_area(kpts)
             self._dt_by_img[det["image_id"]].append(det)
 
         self.img_ids = sorted(set(self._gt_by_img) | set(self._dt_by_img))

@@ -12,7 +12,8 @@ from hupr_tpu.utils.profiling import StepTimer
 def test_coco_api_surface(tmp_path):
     from test_cocoeval import _gt_dataset, _det, _rand_joints
     rng = np.random.default_rng(0)
-    images = [(i, _rand_joints(rng), (40, 40, 120, 160)) for i in range(3)]
+    # ids start at 1 (gt id 0 == "unmatched" in pycocotools semantics)
+    images = [(i, _rand_joints(rng), (40, 40, 120, 160)) for i in range(1, 4)]
     gt_path = tmp_path / "gt.json"
     with open(gt_path, "w") as fp:
         json.dump(_gt_dataset(images), fp)
@@ -21,7 +22,7 @@ def test_coco_api_surface(tmp_path):
         json.dump([_det(i, j) for (i, j, _) in images], fp)
 
     coco = COCO(str(gt_path))
-    assert coco.getImgIds() == [0, 1, 2]
+    assert coco.getImgIds() == [1, 2, 3]
     assert len(coco.loadAnns(coco.getAnnIds(imgIds=1))) == 1
     assert coco.loadImgs(2)[0]["id"] == 2
 
@@ -70,3 +71,61 @@ def test_config_yaml_loads_reference_schema():
     assert cfg.TRAINING.optimizer == "adam"
     assert cfg.TEST.batchSize == 32
     assert cfg.DATASET.split_names("train") == cfg.DATASET.trainName
+
+
+def test_config_warns_on_unknown_keys():
+    import warnings as _w
+    from hupr_tpu.config import config_from_dict
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        cfg = config_from_dict({"TRAINING": {"lrDeacy": 0.9, "lr": 1e-3},
+                                "TRANING": {"lr": 5.0}})
+    msgs = "\n".join(str(r.message) for r in rec)
+    assert "lrDeacy" in msgs           # typo'd key warned
+    assert "TRANING" in msgs           # typo'd section warned
+    assert cfg.TRAINING.lr == 1e-3     # valid keys still applied
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        config_from_dict({"TRAINING": {"lr": 1e-3}})
+    assert not rec                     # clean configs stay silent
+
+
+def test_eval_params_pycocotools_alias_surface():
+    """Reference-written code pokes pycocotools Params attribute names
+    (e.g. datasets/dataset.py:53 sets useSegm); the facade params must
+    expose them (misc/cocoeval.py:498-527)."""
+    import numpy as np
+    from hupr_tpu.eval.cocoeval import HUPR_OKS_SIGMAS, KeypointEvalParams
+    p = KeypointEvalParams()
+    p.useSegm = None
+    np.testing.assert_allclose(p.kpt_oks_sigmas, HUPR_OKS_SIGMAS)
+    assert p.maxDets == [20]
+    assert p.areaRngLbl == ["all", "medium", "large"]
+    assert p.areaRng[1] == [32.0 ** 2, 96.0 ** 2]
+    assert len(p.iouThrs) == 10 and len(p.recThrs) == 101
+    p.maxDets = [50]
+    assert p.max_dets == 50
+    p.kpt_oks_sigmas = np.ones(14) * 0.1
+    np.testing.assert_allclose(p.sigmas, 0.1)
+
+
+def test_reference_surface_compat_helpers(tmp_path):
+    """getPaths/getAnnots/IMG_EXTENSIONS surface parity
+    (reference datasets/base.py:10-11,115-137)."""
+    import json as _json
+    from hupr_tpu.data.dataset import (
+        HuPRDataset, get_annots, get_dataset, get_paths, getDataset,
+        is_image_file)
+    assert is_image_file("x.npy") and is_image_file("a.JPG")
+    assert not is_image_file("a.wav")
+    d = tmp_path / "root" / "seq1" / "hori"
+    d.mkdir(parents=True)
+    (d / "annot.json").write_text(_json.dumps([{"frame": 0}, {"frame": 1}]))
+    paths = get_paths([str(tmp_path / "root")], [["seq1"]], "hori",
+                      ["000000000", "000000001"])
+    assert paths == [str(d / "000000000.npy"), str(d / "000000001.npy")]
+    annots = get_annots([str(tmp_path / "root")], [["seq1"]], "hori",
+                        "annot.json")
+    assert annots == [{"frame": 0}, {"frame": 1}]
+    assert getDataset is get_dataset
+    assert HuPRDataset.evaluateEach is HuPRDataset.evaluate_each
