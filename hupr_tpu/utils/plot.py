@@ -1,11 +1,15 @@
-"""Pose visualization (parity: misc/plot.py:14-81).
+"""Pose visualization (pixel parity: misc/plot.py:14-81).
 
-Draws the 14 joints and the hardcoded 14-edge skeleton (plus optional bbox)
-over the RGB camera frame and writes PNGs to
-visualization/<visDir>/single_N/%09d.png. The reference hard-requires an
-external ../frames RGB directory and crashes without it; here a black canvas
-is used when the frame is missing so visualization works on radar-only
-installs.
+The reference renders each frame through torchvision's
+make_grid(nrow=8, padding=2, normalize=True): a 260x260 canvas with a 2px
+black border, the RGB image min-max normalized over the whole tensor, and
+every joint shifted by +2px (the grid cell offset, plot.py:46-48). The bbox,
+when drawn, is NOT shifted (plot.py:69-77) — a reference quirk kept as-is.
+Output: visualization/<visDir>/single_N/%09d.png.
+
+Deviation (documented in PARITY.md): the reference hard-requires an external
+../frames RGB directory and crashes without it; here a black canvas is used
+when the frame is missing so visualization works on radar-only installs.
 """
 
 from __future__ import annotations
@@ -33,8 +37,23 @@ def _load_rgb(cfg, image_id: int, size):
     return np.zeros((size[1], size[0], 3), dtype=np.uint8)
 
 
+def _make_grid_canvas(img: np.ndarray, padding: int) -> np.ndarray:
+    """Replicate make_grid(batch, nrow=8, padding, normalize=True) for a
+    single image: min-max normalize over the whole tensor (torchvision
+    norm_range with range=None), then paste at (padding, padding) on a black
+    (pad_value=0) grid of size (H+2*padding, W+2*padding)."""
+    t = img.astype(np.float64) / 255.0
+    low, high = t.min(), t.max()
+    t = (t - low) / max(high - low, 1e-5)
+    t = np.clip(t * 255.0, 0, 255).astype(np.uint8)
+    h, w = t.shape[:2]
+    canvas = np.zeros((h + 2 * padding, w + 2 * padding, 3), dtype=np.uint8)
+    canvas[padding:padding + h, padding:padding + w] = t
+    return canvas
+
+
 def plot_human_pose(batch_joints, cfg, vis_dir: str, image_ids,
-                    bbox=None, upsampling_size=(256, 256)):
+                    bbox=None, upsampling_size=(256, 256), padding: int = 2):
     import cv2
 
     batch_joints = np.asarray(batch_joints)
@@ -45,8 +64,11 @@ def plot_human_pose(batch_joints, cfg, vis_dir: str, image_ids,
         os.makedirs(image_dir, exist_ok=True)
         image_path = os.path.join(image_dir, "%09d.png" % int(namestr[-4:]))
 
-        canvas = _load_rgb(cfg, image_id, upsampling_size)
-        joints = batch_joints[j]
+        canvas = _make_grid_canvas(_load_rgb(cfg, image_id, upsampling_size),
+                                   padding)
+        # grid cell offset: +padding on both axes (plot.py:46-48); the
+        # skeleton edges are drawn from the same shifted coords (plot.py:51)
+        joints = batch_joints[j][:, :2].astype(np.float64) + padding
         for joint in joints:
             cv2.circle(canvas, (int(joint[0]), int(joint[1])), 2,
                        [255, 0, 0], 2)
@@ -56,6 +78,7 @@ def plot_human_pose(batch_joints, cfg, vis_dir: str, image_ids,
                      (int(joints[b][0]), int(joints[b][1])),
                      [255, 0, 0], 1)
         if bbox is not None:
+            # reference quirk: bbox coords are NOT grid-shifted (plot.py:69-77)
             x, y, w, h = [int(v) for v in bbox[j]]
             cv2.rectangle(canvas, (x, y), (x + w, y + h), [0, 255, 0], 1)
         cv2.imwrite(image_path, canvas[:, :, ::-1])

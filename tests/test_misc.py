@@ -50,6 +50,43 @@ def test_plot_human_pose_without_frames(tmp_path):
     assert out.exists()
 
 
+def test_plot_make_grid_pixel_geometry(tmp_path, monkeypatch):
+    """Pixel parity with the reference's make_grid(padding=2, normalize=True)
+    rendering (misc/plot.py:29-48): 260x260 canvas, 2px black border,
+    min-max-normalized image, joints drawn at +2px offsets."""
+    import cv2
+    from PIL import Image
+
+    # RGB frame at ../frames/<plotImgDir>/single_1/processed/images
+    work = tmp_path / "work"
+    img_dir = tmp_path / "frames" / "p" / "single_1" / "processed" / "images"
+    img_dir.mkdir(parents=True)
+    work.mkdir()
+    rng = np.random.default_rng(1)
+    rgb = rng.integers(40, 200, (256, 256, 3)).astype(np.uint8)
+    Image.fromarray(rgb).save(img_dir / "000000007.jpg")
+    monkeypatch.chdir(work)
+
+    cfg = config_from_dict({"TEST": {"plotImgDir": "p"}})
+    joints = np.full((1, 14, 2), 128.0)
+    joints[0, 7] = [40.0, 60.0]  # Head: isolated, no edge overlaps circles
+    plot_human_pose(joints, cfg, str(work / "vis"), np.array([100007]))
+    out = cv2.imread(str(work / "vis" / "single_1" / "000000007.png"))[..., ::-1]
+
+    assert out.shape == (260, 260, 3)
+    # 2px border is black (make_grid pad_value=0)
+    assert out[:2].max() == 0 and out[:, :2].max() == 0
+    assert out[-2:].max() == 0 and out[:, -2:].max() == 0
+    # interior equals the min-max normalized jpg (away from drawn joints)
+    jpg = np.asarray(Image.open(img_dir / "000000007.jpg").convert("RGB"))
+    t = jpg.astype(np.float64) / 255.0
+    t = (t - t.min()) / max(t.max() - t.min(), 1e-5)
+    want = np.clip(t * 255.0, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(out[2:30, 2:30], want[:28, :28])
+    # joint circle center lands at image coords + 2 (grid offset)
+    assert tuple(out[62, 42]) == (255, 0, 0)
+
+
 def test_step_timer():
     t = StepTimer()
     for _ in range(3):
