@@ -12,7 +12,20 @@ measure here directly with an equivalent loop-faithful NumPy implementation
 (tests/oracles.py). vs_baseline = our_fps / reference_fps (conservative:
 reference inference time is not even added).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. Primary keys {"metric", "value", "unit",
+"vs_baseline"} are the device-resident serving rate; extra keys cover the
+other BASELINE configs:
+  train_ms_per_step / train_samples_per_sec — flagship batch-20 fused
+    train step (fwd+bwd+Adam), reference config #4 (tools/run.py:65-86)
+  ingest_frames_per_sec — serving INCLUDING host->device raw-ADC transfer
+    (double-buffered via async dispatch; tunnel-bound in this dev env)
+  stream_latency_ms — per-frame latency of the fused streaming estimator,
+    device-resident steady state incl. the (K,2) result fetch
+  loader_samples_per_sec — host-side BatchLoader assembly rate over real
+    .npy files (cold cache), SETUP.numWorkers threads
+
+Env knobs: BENCH_FRAMES, BENCH_REPS, BENCH_REF_FRAMES, BENCH_ATTN,
+BENCH_TRAIN=0, BENCH_STREAM=0, BENCH_INGEST=0, BENCH_LOADER=0 to skip parts.
 """
 
 import json
@@ -104,12 +117,139 @@ def main():
     fetch(out)
     tpu_fps = (reps * n_frames) / (time.perf_counter() - t0)
 
-    print(json.dumps({
+    result = {
         "metric": "e2e_radar_frames_per_sec",
         "value": round(tpu_fps, 3),
         "unit": "frames/s (dual-radar preprocess + HuPRNet inference, 1 chip)",
         "vs_baseline": round(tpu_fps / ref_fps, 2),
-    }))
+    }
+
+    # ---- ingest-inclusive serving: host->device transfer in the loop,
+    # double-buffered (async dispatch overlaps the next device_put with the
+    # current compute). Tunnel-bound here (~50 MB/s); on a production host
+    # this is the PCIe/DMA-inclusive number.
+    if os.environ.get("BENCH_INGEST", "1") != "0":
+        host = (hori_re, hori_im, vert_re, vert_im)
+        ingest_reps = max(2, reps // 3)
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(ingest_reps):
+            dev_i = [jax.device_put(a) for a in host]
+            out = run(*dev_i)
+        fetch(out)
+        result["ingest_frames_per_sec"] = round(
+            (ingest_reps * n_frames) / (time.perf_counter() - t0), 3)
+
+    # ---- training throughput: flagship batch-20 fused train step
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        from hupr_tpu.config import Config
+        from hupr_tpu.engine.steps import (TrainState, make_optimizer,
+                                           make_train_step)
+        import jax.numpy as jnp
+
+        cfg = Config()
+        tx = make_optimizer(cfg)
+        # train_step donates its state: give it copies so the serving /
+        # streaming sections below keep their (shared) buffers alive
+        t_params = jax.tree.map(jnp.array, variables["params"])
+        state = TrainState(
+            params=t_params,
+            batch_stats=jax.tree.map(jnp.array,
+                                     variables.get("batch_stats", {})),
+            opt_state=tx.init(t_params),
+            step=jnp.zeros((), jnp.int32))
+        b = cfg.TRAINING.batchSize  # 20
+        tshape = (b, 8, 8, 2, 64, 64, 8)
+        batch = {
+            "hori": jax.device_put(
+                rng.standard_normal(tshape).astype(np.float32)),
+            "vert": jax.device_put(
+                rng.standard_normal(tshape).astype(np.float32)),
+            "jointsGroup": jax.device_put(rng.uniform(20, 230, (b, 14, 2))),
+        }
+        train_step = make_train_step(model, tx)
+        state, metrics = train_step(state, batch, 1e-4, 0.0)  # compile
+        float(metrics["loss"])
+        train_reps = max(3, reps // 2)
+        t0 = time.perf_counter()
+        for _ in range(train_reps):
+            state, metrics = train_step(state, batch, 1e-4, 0.0)
+        float(metrics["loss"])  # host fetch -> true completion
+        dt = (time.perf_counter() - t0) / train_reps
+        result["train_ms_per_step"] = round(dt * 1000.0, 2)
+        result["train_samples_per_sec"] = round(b / dt, 2)
+
+    # ---- streaming latency: fused per-frame step, device-resident inputs,
+    # including the per-frame (K, 2) result fetch
+    if os.environ.get("BENCH_STREAM", "1") != "0":
+        from hupr_tpu.engine.streaming import StreamingPoseEstimator
+
+        est = StreamingPoseEstimator(model, variables)
+        frame = (jax.device_put(hori_re[0]), jax.device_put(hori_im[0]))
+        vframe = (jax.device_put(vert_re[0]), jax.device_put(vert_im[0]))
+        for _ in range(3):  # compile first_step + step, reach steady state
+            est.process_frame(frame, vframe)
+        stream_n = 20
+        t0 = time.perf_counter()
+        for _ in range(stream_n):
+            est.process_frame(frame, vframe)
+        result["stream_latency_ms"] = round(
+            (time.perf_counter() - t0) / stream_n * 1000.0, 2)
+
+    # ---- host-side loader assembly rate over real .npy files (cold cache)
+    if os.environ.get("BENCH_LOADER", "1") != "0":
+        result["loader_samples_per_sec"] = round(_bench_loader(), 2)
+
+    print(json.dumps(result))
+
+
+def _bench_loader(duration: int = 24, batch: int = 8, workers: int = 4):
+    """Write one sequence of full-size cubes to /tmp and measure BatchLoader
+    sample-assembly throughput (mmap .npy read + chirp slice + stack), cold
+    cache, SETUP.numWorkers-threaded."""
+    import shutil
+    import tempfile
+
+    from hupr_tpu.config import config_from_dict
+    from hupr_tpu.data import BatchLoader, get_dataset
+
+    root = tempfile.mkdtemp(prefix="hupr_bench_loader_")
+    try:
+        rng = np.random.default_rng(0)
+        annots = []
+        for view in ("hori", "vert"):
+            os.makedirs(os.path.join(root, "single_1", view), exist_ok=True)
+        blocks = []
+        for f in range(duration):
+            cube = (rng.standard_normal((16, 64, 64, 8))
+                    + 1j * rng.standard_normal((16, 64, 64, 8))
+                    ).astype(np.complex64)
+            for view in ("hori", "vert"):
+                np.save(os.path.join(root, f"single_1/{view}/{f:09d}.npy"),
+                        cube)
+            joints = rng.uniform(40, 210, (14, 2)).tolist()
+            xs = [j[0] for j in joints]
+            ys = [j[1] for j in joints]
+            blocks.append({"image": "%09d.jpg" % f, "joints": joints,
+                           "bbox": [min(xs), min(ys), max(xs), max(ys)]})
+        annots.append(blocks)
+        for phase in ("train", "val", "test"):
+            with open(os.path.join(root, f"hrnet_annot_{phase}.json"),
+                      "w") as fp:
+                json.dump(annots, fp)
+
+        cfg = config_from_dict({"DATASET": {
+            "duration": duration, "dataDir": root,
+            "trainName": [1], "valName": [1], "testName": [1]}})
+        ds = get_dataset("val", cfg, 1)
+        loader = BatchLoader(ds, batch, shuffle=False, workers=workers)
+        n = 0
+        t0 = time.perf_counter()
+        for b in loader:
+            n += len(b["imageId"])
+        return n / (time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":

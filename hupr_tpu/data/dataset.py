@@ -48,12 +48,22 @@ def window_indices(n_frames_total: int, duration: int, group: int) -> np.ndarray
 
 
 class FrameCache:
-    """LRU cache of per-frame chirp-sliced radar arrays."""
+    """LRU cache of per-frame chirp-sliced radar arrays, bounded both by
+    item count and by total bytes (a frame pair of f32 planes is ~2 MB;
+    4096 items alone would be ~8.6 GB on small-RAM hosts)."""
 
-    def __init__(self, max_items: int = 4096):
+    def __init__(self, max_items: int = 4096,
+                 max_bytes: int = 4 << 30):
         self.max_items = max_items
+        self.max_bytes = max_bytes
         self._d: OrderedDict = OrderedDict()
+        self._bytes = 0
         self._lock = threading.Lock()
+
+    @staticmethod
+    def _nbytes(val) -> int:
+        return sum(int(np.asarray(a).nbytes)
+                   for a in (val if isinstance(val, (tuple, list)) else [val]))
 
     def has(self, key) -> bool:
         with self._lock:
@@ -61,10 +71,15 @@ class FrameCache:
 
     def put(self, key, val):
         with self._lock:
+            if key in self._d:
+                self._bytes -= self._nbytes(self._d[key])
             self._d[key] = val
             self._d.move_to_end(key)
-            while len(self._d) > self.max_items:
-                self._d.popitem(last=False)
+            self._bytes += self._nbytes(val)
+            while self._d and (len(self._d) > self.max_items
+                               or self._bytes > self.max_bytes):
+                _, old = self._d.popitem(last=False)
+                self._bytes -= self._nbytes(old)
 
     def get(self, key, loader):
         with self._lock:
@@ -194,6 +209,20 @@ class HuPRDataset:
             "imageId": self.image_ids[index],
         }
 
+    def fill_sample(self, index: int, hori_out: np.ndarray,
+                    vert_out: np.ndarray) -> None:
+        """Write one sample's windows straight into caller buffers
+        (G, C, 2, R, A, E) — ONE copy from the cached frame planes instead
+        of raw_sample's three stacked copies; batch assembly is
+        memcpy-bound on hosts feeding a fast chip."""
+        win = self.windows[index]
+        for out, paths in ((hori_out, self.paths_hori),
+                           (vert_out, self.paths_vert)):
+            frames = self._frames([paths[i] for i in win])
+            for g, (re, im) in enumerate(frames):
+                out[g, :, 0] = re
+                out[g, :, 1] = im
+
     def sample_index(self, i: int, rng: Optional[np.random.Generator]) -> int:
         """Sampling-ratio subsampling (dataset.py:121-124): randomized stride
         for train, fixed stride otherwise."""
@@ -240,23 +269,62 @@ class HuPRDataset:
 
 
 class BatchLoader:
-    """Background-thread prefetching batch iterator (numWorkers equivalent)."""
+    """Background-thread prefetching batch iterator (numWorkers equivalent).
+
+    `workers` > 1 assembles the samples of a batch with a thread pool
+    (reference SETUP.numWorkers semantics, tools/run.py:21,28 — .npy reads
+    and memcpy release the GIL, so threads overlap IO on a host feeding a
+    TPU)."""
 
     def __init__(self, dataset: HuPRDataset, batch_size: int,
                  shuffle: bool = False, seed: int = 0, prefetch: int = 2,
-                 drop_last: bool = False):
+                 drop_last: bool = False, workers: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
+        self.workers = max(1, int(workers))
+        self._pool = None
 
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
+
+    def _assemble(self, idx) -> dict:
+        # sample_index consumes the rng stream (train-time sampling-ratio
+        # randomization) and must stay sequential/deterministic; only the
+        # heavy IO/memcpy work fans out to the pool
+        ds = self.dataset
+        indices = [ds.sample_index(int(i), self.rng) for i in idx]
+        b = len(indices)
+        shape = (b, ds.num_group_frames, ds.num_frames, 2) + ds._inner_shape
+        hori = np.empty(shape, np.float32)
+        vert = np.empty(shape, np.float32)
+
+        def fill(j_i):
+            j, i = j_i
+            ds.fill_sample(i, hori[j], vert[j])
+
+        work = list(enumerate(indices))
+        if self.workers == 1 or b == 1:
+            for w in work:
+                fill(w)
+        else:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._pool = ThreadPoolExecutor(max_workers=self.workers)
+            list(self._pool.map(fill, work))
+        return {
+            "hori": hori,
+            "vert": vert,
+            "jointsGroup": ds.joints[indices],
+            "bbox": ds.bboxes[indices],
+            "imageId": np.asarray([ds.image_ids[i] for i in indices]),
+        }
 
     def _batches(self) -> Iterator[dict]:
         n = len(self.dataset)
@@ -267,15 +335,7 @@ class BatchLoader:
             idx = order[start:start + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
                 return
-            samples = [self.dataset.raw_sample(
-                self.dataset.sample_index(int(i), self.rng)) for i in idx]
-            yield {
-                "hori": np.stack([s["hori"] for s in samples]),
-                "vert": np.stack([s["vert"] for s in samples]),
-                "jointsGroup": np.stack([s["jointsGroup"] for s in samples]),
-                "bbox": np.stack([s["bbox"] for s in samples]),
-                "imageId": np.asarray([s["imageId"] for s in samples]),
-            }
+            yield self._assemble(idx)
 
     def __iter__(self) -> Iterator[dict]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)

@@ -80,13 +80,14 @@ class Runner:
             self.train_set = get_dataset("train", cfg, args.sampling_ratio)
             self.train_loader = BatchLoader(
                 self.train_set, cfg.TRAINING.batchSize, shuffle=True,
-                seed=args.seed)
+                seed=args.seed, workers=cfg.SETUP.numWorkers)
         else:
             self.train_set, self.train_loader = None, None
         self.test_set = get_dataset("test" if args.eval else "val", cfg,
                                     args.sampling_ratio)
         self.test_loader = BatchLoader(self.test_set, cfg.TEST.batchSize,
-                                       shuffle=False, seed=args.seed)
+                                       shuffle=False, seed=args.seed,
+                                       workers=cfg.SETUP.numWorkers)
 
         # warmup LR back-computation (run.py:30-32); eval mode has no train
         # loader and never steps the optimizer, so plain lr suffices there

@@ -10,7 +10,9 @@ see the future, so predictions correspond to the frame G/2-1 steps back —
 `latency_frames` documents that.
 
 Everything stays on device between frames; per-frame host work is one
-raw-ADC transfer and one (K, 2) fetch.
+raw-ADC transfer, ONE fused jitted dispatch (encode + window shift + decode
+in a single XLA program), and one (K, 2) fetch. bench.py reports the
+steady-state per-frame latency as stream_latency_ms.
 """
 
 from __future__ import annotations
@@ -37,7 +39,6 @@ class StreamingPoseEstimator:
         self._maps: Optional[tuple] = None   # rolling (G, R, A, F) per view
         self._count = 0
 
-        @jax.jit
         def encode(hori_re, hori_im, vert_re, vert_im):
             def cube(re, im):
                 c = radar_cube_single_frame(re + 1j * im, params)
@@ -50,11 +51,9 @@ class StreamingPoseEstimator:
             ra, re = model.apply(variables, hori, vert, method="chirp_maps")
             return ra[0, 0], re[0, 0]                  # (R, A, F) each
 
-        @jax.jit
         def push(maps, new):
             return jnp.concatenate([maps[1:], new[None]], axis=0)
 
-        @jax.jit
         def decode(ra_window, re_window):
             hm, gcn = model.apply(variables, ra_window[None], re_window[None],
                                   method="pose_from_maps")
@@ -62,9 +61,35 @@ class StreamingPoseEstimator:
             pred2d, maxvals = get_max_preds(gcn.reshape(-1, k, h, h))
             return pred2d[0], maxvals[0]
 
-        self._encode = encode
-        self._push = push
-        self._decode = decode
+        # latency path: ONE fused XLA program (and one dispatch) per frame —
+        # encode + window shift + decode; separate dispatches would pay the
+        # host round-trip three times per frame
+        @jax.jit
+        def step(maps, hori_re, hori_im, vert_re, vert_im):
+            ra, re = encode(hori_re, hori_im, vert_re, vert_im)
+            new_maps = (push(maps[0], ra), push(maps[1], re))
+            pred2d, maxvals = decode(*new_maps)
+            return new_maps, pred2d, maxvals
+
+        @jax.jit
+        def first_step(hori_re, hori_im, vert_re, vert_im):
+            # sequence start: window full of the first frame (boundary clamp)
+            ra, re = encode(hori_re, hori_im, vert_re, vert_im)
+            maps = (jnp.broadcast_to(ra[None], (group,) + ra.shape),
+                    jnp.broadcast_to(re[None], (group,) + re.shape))
+            pred2d, maxvals = decode(*maps)
+            return maps, pred2d, maxvals
+
+        @jax.jit
+        def flush_step(maps):
+            new_maps = (push(maps[0], maps[0][-1]),
+                        push(maps[1], maps[1][-1]))
+            pred2d, maxvals = decode(*new_maps)
+            return new_maps, pred2d, maxvals
+
+        self._step = step
+        self._first_step = first_step
+        self._flush_step = flush_step
 
     @property
     def latency_frames(self) -> int:
@@ -94,19 +119,13 @@ class StreamingPoseEstimator:
 
         hr, hi = split(hori_frame)
         vr, vi = split(vert_frame)
-        ra, re = self._encode(hr, hi, vr, vi)
 
         if self._maps is None:
-            # sequence start: window full of the first frame (boundary clamp)
-            ra_w = jnp.broadcast_to(ra[None], (self.group,) + ra.shape)
-            re_w = jnp.broadcast_to(re[None], (self.group,) + re.shape)
-            self._maps = (jnp.asarray(ra_w), jnp.asarray(re_w))
+            self._maps, pred2d, maxvals = self._first_step(hr, hi, vr, vi)
         else:
-            self._maps = (self._push(self._maps[0], ra),
-                          self._push(self._maps[1], re))
+            self._maps, pred2d, maxvals = self._step(self._maps,
+                                                     hr, hi, vr, vi)
         self._count += 1
-
-        pred2d, maxvals = self._decode(*self._maps)
         return np.asarray(pred2d), np.asarray(maxvals)
 
     def flush(self):
@@ -117,8 +136,6 @@ class StreamingPoseEstimator:
         if self._maps is None:
             return out
         for _ in range(self.latency_frames):
-            self._maps = (self._push(self._maps[0], self._maps[0][-1]),
-                          self._push(self._maps[1], self._maps[1][-1]))
-            pred2d, maxvals = self._decode(*self._maps)
+            self._maps, pred2d, maxvals = self._flush_step(self._maps)
             out.append((np.asarray(pred2d), np.asarray(maxvals)))
         return out

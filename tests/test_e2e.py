@@ -138,3 +138,37 @@ def test_loss_decreases_on_overfit(tmp_path):
         assert losses[-1] < losses[0]
     finally:
         os.chdir(cwd)
+
+
+def test_batch_loader_parallel_assembly_matches_serial(tmp_path):
+    """workers>1 fans raw_sample IO over a thread pool; batches must be
+    byte-identical to the serial loader, for both sequential eval order and
+    the seeded shuffled train order (the rng stream stays sequential)."""
+    from hupr_tpu.data import BatchLoader, get_dataset
+
+    data_dir = str(tmp_path / "data")
+    make_tiny_dataset(data_dir, [1])
+    cfg = tiny_cfg(data_dir)
+    ds = get_dataset("val", cfg, 1)
+
+    for shuffle, seed in ((False, 0), (True, 3)):
+        serial = list(BatchLoader(ds, 3, shuffle=shuffle, seed=seed,
+                                  workers=1))
+        pooled = list(BatchLoader(ds, 3, shuffle=shuffle, seed=seed,
+                                  workers=4))
+        assert len(serial) == len(pooled) == 3  # 8 samples / batch 3
+        for a, b in zip(serial, pooled):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_frame_cache_byte_bound():
+    from hupr_tpu.data.dataset import FrameCache
+    c = FrameCache(max_items=100, max_bytes=4096)
+    a = np.zeros(256, np.float32)  # 1 KiB
+    for i in range(10):
+        c.put(i, (a, a))           # 2 KiB per entry -> at most 2 fit
+    assert not c.has(0) and c.has(9)
+    assert c._bytes <= 4096 and len(c._d) == 2
+    c.put(9, (a, a))               # re-put must not double-count
+    assert c._bytes == 4096
