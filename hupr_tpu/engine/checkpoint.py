@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import threading
 from typing import Optional
 
 import jax
@@ -34,15 +35,62 @@ def _write_payload(path: str, payload: dict):
     os.replace(tmp, path)
 
 
-def save_checkpoint(path: str, state, epoch: int, accuracy: float):
-    _write_payload(path, {
+def snapshot_state(state, epoch: int, accuracy: float) -> dict:
+    """Fetch the TrainState to host ONCE; the payload can then be written to
+    any number of retention files without further device round-trips."""
+    return {
         "params": _to_host(state.params),
         "batch_stats": _to_host(state.batch_stats),
         "opt_state": _to_host(state.opt_state),
         "step": int(state.step),
         "epoch": int(epoch),
         "accuracy": float(accuracy) if accuracy is not None else -1.0,
-    })
+    }
+
+
+def save_checkpoint(path: str, state, epoch: int, accuracy: float):
+    _write_payload(path, snapshot_state(state, epoch, accuracy))
+
+
+class AsyncCheckpointer:
+    """Non-blocking checkpoint writer: the caller's thread only issues an
+    on-device copy (async dispatch, ~free); the host fetch (slow on a thin
+    host link) and file writes run on a background thread. The device copy
+    makes the snapshot immune to train_step's buffer donation invalidating
+    the live state."""
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._failure: list = []
+
+    def save(self, paths, state, epoch: int, accuracy: float):
+        """Write the same snapshot to every path in `paths`."""
+        import jax.numpy as jnp
+        self.wait()
+        snap = state.replace(
+            params=jax.tree.map(jnp.array, state.params),
+            batch_stats=jax.tree.map(jnp.array, state.batch_stats),
+            opt_state=jax.tree.map(jnp.array, state.opt_state),
+            step=jnp.array(state.step))
+        paths = list(paths)
+
+        def work():
+            try:
+                payload = snapshot_state(snap, epoch, accuracy)
+                for p in paths:
+                    _write_payload(p, payload)
+            except BaseException as exc:  # surface on the next wait()
+                self._failure.append(exc)
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._failure:
+            raise self._failure.pop()
 
 
 def save_weights_only_checkpoint(path: str, variables: dict,

@@ -25,7 +25,8 @@ import numpy as np
 
 from hupr_tpu.data import BatchLoader, get_dataset
 from hupr_tpu.engine.checkpoint import (
-    find_checkpoint, load_checkpoint, load_torch_checkpoint, save_checkpoint)
+    AsyncCheckpointer, find_checkpoint, load_checkpoint,
+    load_torch_checkpoint)
 from hupr_tpu.engine.logger import Logger
 from hupr_tpu.engine.steps import (
     TrainState, init_state, make_eval_step, make_optimizer, make_train_step)
@@ -103,6 +104,7 @@ class Runner:
         self.alpha = 0.0
 
         self.logger = Logger()
+        self.checkpointer = AsyncCheckpointer()
         if not args.eval:
             print("==========>Train set size:", len(self.train_loader))
         print("==========>Test set size:", len(self.test_loader))
@@ -143,16 +145,19 @@ class Runner:
         self.state = replicate_state(self.state, self.mesh)
 
     def save_model_weight(self, epoch: int, acc: float):
+        """Same retention policy as tools/base.py:75-90 (best / latest /
+        every-5), but ONE host fetch per epoch written to all retention
+        files, on a background thread (training continues immediately)."""
+        paths = []
         if self.logger.is_best_acc_ap(acc):
             print("==========>Save the best model...")
-            save_checkpoint(os.path.join(self.dir, "model_best.ckpt"),
-                            self.state, epoch, self.logger.show_best_ap())
+            paths.append(os.path.join(self.dir, "model_best.ckpt"))
         print("==========>Save the latest model...")
-        save_checkpoint(os.path.join(self.dir, "checkpoint.ckpt"),
-                        self.state, epoch, self.logger.show_best_ap())
+        paths.append(os.path.join(self.dir, "checkpoint.ckpt"))
         if epoch % 5 == 0:
-            save_checkpoint(os.path.join(self.dir, f"checkpoint_{epoch}.ckpt"),
-                            self.state, epoch, self.logger.show_best_ap())
+            paths.append(os.path.join(self.dir, f"checkpoint_{epoch}.ckpt"))
+        self.checkpointer.save(paths, self.state, epoch,
+                               self.logger.show_best_ap())
 
     def save_loss_list(self, epoch: int, loss_list, mode: str):
         path = os.path.join(self.dir, f"{mode}_loss_list_{epoch}.json")
@@ -242,3 +247,4 @@ class Runner:
             acc_ap = self.eval(visualization=False, epoch=epoch)
             self.save_model_weight(epoch, acc_ap)
             self.save_loss_list(epoch, loss_list, "train")
+        self.checkpointer.wait()  # flush the last epoch's async save

@@ -166,3 +166,17 @@ def test_reference_surface_compat_helpers(tmp_path):
     assert annots == [{"frame": 0}, {"frame": 1}]
     assert getDataset is get_dataset
     assert HuPRDataset.evaluateEach is HuPRDataset.evaluate_each
+
+
+def test_scaffold_creates_reference_tree(tmp_path, monkeypatch):
+    """scaffold.main mirrors reference setup.py:3-23's directory tree."""
+    import scaffold
+    monkeypatch.chdir(tmp_path)
+    scaffold.main(num_sequences=3)
+    for d in ("data/HuPR", "visualization", "logs",
+              "preprocessing/raw_data/iwr1843"):
+        assert (tmp_path / d).is_dir()
+    for i in (1, 2, 3):
+        for sub in ("vert", "hori", "annot", "visualization"):
+            assert (tmp_path / f"data/HuPR/single_{i}" / sub).is_dir()
+    assert not (tmp_path / "data/HuPR/single_4").exists()
