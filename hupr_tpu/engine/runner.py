@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import json
 import os
-import time
 from typing import Optional
 
 import jax
@@ -29,7 +28,7 @@ from hupr_tpu.engine.checkpoint import (
     load_torch_checkpoint)
 from hupr_tpu.engine.logger import Logger
 from hupr_tpu.engine.steps import (
-    TrainState, init_state, make_eval_step, make_optimizer, make_train_step)
+    init_state, make_eval_step, make_optimizer, make_train_step)
 from hupr_tpu.models import build_model
 from hupr_tpu.parallel import make_mesh, replicate_state
 from hupr_tpu.parallel.mesh import device_prefetch

@@ -17,7 +17,7 @@ param_group lr mutation (tools/base.py:66-72).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, NamedTuple, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ steady-state per-frame latency as stream_latency_ms.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -20,7 +20,7 @@ from typing import List, Optional
 import numpy as np
 
 from hupr_tpu.eval.cocoeval import (
-    HUPR_OKS_SIGMAS, KeypointEvalParams, KeypointEvaluator, STATS_NAMES)
+    KeypointEvalParams, KeypointEvaluator, STATS_NAMES)
 
 
 class COCO:
