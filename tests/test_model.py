@@ -223,3 +223,29 @@ def _synthetic_reference_state_dict(f=32):
         sd[f"{d}.gcn.{layer}.weight"] = torch.randn(1024, 1024) * 0.01
         sd[f"{d}.gcn.{layer}.bias"] = torch.randn(1024, 14) * 0.01
     return sd
+
+
+def test_bfloat16_compute_dtype_close_to_f32():
+    """MODEL.computeDtype: bfloat16 must produce outputs close to the f32
+    path (same params; conv/matmul compute in bf16)."""
+    import jax
+    from hupr_tpu.config import config_from_dict
+    from hupr_tpu.models import build_model
+
+    rng = np.random.default_rng(0)
+    shape = (1, 8, 8, 2, 64, 64, 8)
+    hori = rng.standard_normal(shape).astype(np.float32)
+    vert = rng.standard_normal(shape).astype(np.float32)
+
+    cfg32 = config_from_dict({"MODEL": {"numFilters": 2}})
+    m32 = build_model(cfg32)
+    variables = m32.init(jax.random.PRNGKey(0), hori, vert)
+    h32, g32 = m32.apply(variables, hori, vert)
+
+    cfg16 = config_from_dict({"MODEL": {"numFilters": 2,
+                                        "computeDtype": "bfloat16"}})
+    m16 = build_model(cfg16)
+    h16, g16 = m16.apply(variables, hori, vert)  # same param tree
+    # outputs are sigmoid probabilities in [0,1]
+    np.testing.assert_allclose(np.asarray(h16), np.asarray(h32), atol=0.05)
+    np.testing.assert_allclose(np.asarray(g16), np.asarray(g32), atol=0.05)

@@ -229,3 +229,36 @@ def test_annealed_training_trajectory_matches_reference(ref_hupr_cls):
                      jax.tree.leaves(want["batch_stats"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=7e-4, rtol=1e-3)
+
+
+def test_convert_cli_roundtrip(ref_net_and_inputs, tmp_path, monkeypatch,
+                               capsys):
+    """The convert CLI (python -m hupr_tpu.models.torch_convert) must produce
+    a weights-only .ckpt that the Runner load path restores to the exact
+    reference forward."""
+    import jax
+
+    from hupr_tpu.engine.checkpoint import load_checkpoint
+    from hupr_tpu.engine.steps import init_state
+    from hupr_tpu.models import build_model
+    from hupr_tpu.models.torch_convert import main as convert_main
+
+    net, cfg, hori, vert, t_heat, t_gcn = ref_net_and_inputs
+    src = str(tmp_path / "model_best.pth")
+    dst = str(tmp_path / "model_best.ckpt")
+    torch.save({"epoch": 11, "model_state_dict": net.state_dict(),
+                "accuracy": 0.42}, src)
+
+    monkeypatch.setattr(sys, "argv", ["torch_convert", src, dst])
+    convert_main()
+    assert "wrote" in capsys.readouterr().out
+
+    model = build_model(cfg)
+    state = init_state(model, cfg, jax.random.PRNGKey(0))
+    state, epoch, acc = load_checkpoint(dst, state)
+    assert epoch == 0  # weights-only: must not act as a resume point
+    assert np.isclose(acc, 0.42)
+    j_heat, _ = jax.jit(model.apply)(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        hori, vert)
+    np.testing.assert_allclose(np.asarray(j_heat), t_heat, atol=1e-4)
