@@ -44,10 +44,20 @@ def cube_chirp_input(cubes_real, cubes_imag, num_chirps=16, num_frames=8):
 
 
 def make_e2e_infer(model, variables, params: RadarParams = RadarParams(),
-                   duration: int = 600, group: int = 8):
+                   duration: int = 600, group: int = 8, mesh=None):
     """Returns jitted fn (hori_re, hori_im, vert_re, vert_im) -> (pred2d,
     maxvals) over a stack of F raw ADC frames per radar view, each
-    (F, RX=4, 192, ADC=256) float32, all frames from one sequence."""
+    (F, RX=4, 192, ADC=256) float32, all frames from one sequence.
+
+    With `mesh` (a 1-axis jax.sharding.Mesh), the whole program runs SPMD
+    with the frame axis sharded across devices: params are replicated, the
+    per-frame DSP + MNet encode are embarrassingly parallel, and the sliding
+    window's replicate-padded slices become halo exchanges XLA lowers to
+    ICI collective-permutes. F must be divisible by the mesh size."""
+    if mesh is not None:
+        from hupr_tpu.parallel.mesh import batch_sharding, replicated
+        variables = jax.device_put(variables, replicated(mesh))
+        shard = batch_sharding(mesh)
 
     def run(hori_re, hori_im, vert_re, vert_im):
         def cube(re, im):
@@ -70,4 +80,7 @@ def make_e2e_infer(model, variables, params: RadarParams = RadarParams(),
         pred2d, maxvals = get_max_preds(gcn.reshape(-1, k, h, h))
         return pred2d, maxvals
 
+    if mesh is not None:
+        return jax.jit(run, in_shardings=(shard,) * 4,
+                       out_shardings=(shard, shard))
     return jax.jit(run)

@@ -35,11 +35,15 @@ def _make_attn_kernel(mxu_bf16: bool):
             # stays f32. Opt-in (bit-exactness vs the einsum path is relaxed).
             k, q, m = (x.astype(jnp.bfloat16) for x in (k, q, m))
         logits = jnp.dot(k, q.T, preferred_element_type=jnp.float32)  # (N, qb)
-        a = jax.nn.softmax(logits, axis=0)
+        # softmax over the key axis with the normalization folded past the
+        # second matmul: dividing the (qb, C) epilogue instead of the (N, qb)
+        # panel saves one full VPU pass over the N*qb panel per block.
+        p = jnp.exp(logits - jnp.max(logits, axis=0, keepdims=True))
+        s = jnp.sum(p, axis=0, keepdims=True)                         # (1, qb)
         if mxu_bf16:
-            a = a.astype(jnp.bfloat16)
-        o_ref[0] = jnp.dot(a.T, m, preferred_element_type=jnp.float32).astype(
-            o_ref.dtype)
+            p = p.astype(jnp.bfloat16)
+        num = jnp.dot(p.T, m, preferred_element_type=jnp.float32)     # (qb, C)
+        o_ref[0] = (num / s.T).astype(o_ref.dtype)
     return _attn_kernel
 
 
@@ -66,6 +70,10 @@ def _attention_fwd_pallas(k, q, m, q_block: int, interpret: bool,
             bytes_accessed=(3 * b * n * c + b * n * c) * 4,
             transcendentals=b * n * n,
         ),
+        # q_block=512 at N=4096 holds two (N, qb) f32 panels (logits + exp)
+        # -> ~18 MB scoped VMEM, over the 16 MB default limit
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(k, q, m)
 
@@ -169,7 +177,9 @@ def spatial_attention_pallas(k, q, m, interpret: bool = False,
     """(B, H, W, C) convenience wrapper matching models.mscsa.spatial_attention."""
     b, h, w, c = m.shape
     n = h * w
-    q_block = min(256, n)
+    # swept on v5e at the flagship N=4096/C=64 shape (scripts/attn_microbench):
+    # qb 256 -> 6.6 ms/op, qb 512+ -> ~5.2 ms/op plateau
+    q_block = min(512, n)
     out = fused_spatial_attention(
         k.reshape(b, n, c), q.reshape(b, n, c), m.reshape(b, n, c),
         q_block, interpret, mxu_bf16)

@@ -55,3 +55,28 @@ def test_pipeline_matches_naive_path():
     np.testing.assert_allclose(np.asarray(max_fast), np.asarray(max_ref),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(pred_fast), np.asarray(pred_ref))
+
+
+def test_pipeline_sharded_matches_single_device():
+    """Frame-axis-sharded serving over the 8-device mesh must equal the
+    single-device program: the sliding window crosses shard boundaries, so
+    this exercises the XLA-inserted halo exchange."""
+    from hupr_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(2)
+    f = 16
+    mk = lambda: rng.standard_normal((f, 4, 192, 256)).astype(np.float32)
+    hr, hi, vr, vi = mk(), mk(), mk(), mk()
+
+    model = HuPRNet(num_filters=2)
+    ex = jnp.zeros((1, 8, 8, 2, 64, 64, 8), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), ex, ex)
+
+    run1 = make_e2e_infer(model, variables, duration=f)
+    pred1, max1 = run1(hr, hi, vr, vi)
+
+    run8 = make_e2e_infer(model, variables, duration=f, mesh=make_mesh())
+    pred8, max8 = run8(hr, hi, vr, vi)
+
+    np.testing.assert_allclose(np.asarray(max8), np.asarray(max1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pred8), np.asarray(pred1))
