@@ -100,13 +100,18 @@ class StreamingPoseEstimator:
         self._maps = None
         self._count = 0
 
-    def process_frame(self, hori_frame: np.ndarray, vert_frame: np.ndarray):
+    def process_frame(self, hori_frame: np.ndarray, vert_frame: np.ndarray,
+                      fetch: bool = True):
         """One raw ADC frame per view, each (RX=4, 192, 256) complex (or a
         (re, im) float32 tuple) -> (keypoints (K, 2) heatmap coords, maxvals).
 
         The first G/2 calls replicate-initialize the window (sequence start
         clamp); every call emits the pose for the window centered G/2-1
         frames back.
+
+        fetch=False returns device arrays without forcing a host round-trip:
+        dispatch is async, so a pipelined consumer can overlap the next
+        frame's transfer/compute with reading this result later.
         """
         def split(f):
             if isinstance(f, tuple):
@@ -125,6 +130,8 @@ class StreamingPoseEstimator:
             self._maps, pred2d, maxvals = self._step(self._maps,
                                                      hr, hi, vr, vi)
         self._count += 1
+        if not fetch:
+            return pred2d, maxvals
         return np.asarray(pred2d), np.asarray(maxvals)
 
     def flush(self):

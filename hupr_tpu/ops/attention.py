@@ -105,21 +105,28 @@ def _make_bwd_kernel(mxu_bf16: bool):
             k, q, m, g = (x.astype(jnp.bfloat16) for x in (k, q, m, g))
 
         logits = jnp.dot(k, q.T, preferred_element_type=jnp.float32)  # (N, qb)
-        a = jax.nn.softmax(logits, axis=0)
-        am = a.astype(jnp.bfloat16) if mxu_bf16 else a
+        # Unnormalized softmax: with a = p / s, every 1/s factor below folds
+        # into a per-q-position column scale that rides on the SMALL (qb, C)
+        # panels (q, g, and the dq epilogue) instead of full (N, qb) passes.
+        p = jnp.exp(logits - jnp.max(logits, axis=0, keepdims=True))
+        inv_s = 1.0 / jnp.sum(p, axis=0, keepdims=True)               # (1, qb)
+        pm = p.astype(jnp.bfloat16) if mxu_bf16 else p
 
         # da[i,j] = sum_c m[i,c] g[j,c]
         da = jnp.dot(m, g.T, preferred_element_type=jnp.float32)      # (N, qb)
-        # softmax bwd over the key axis (i)
-        dl = a * (da - jnp.sum(a * da, axis=0, keepdims=True))
-        dlm = dl.astype(jnp.bfloat16) if mxu_bf16 else dl
+        # softmax bwd over the key axis (i): dl = a * (da - sum_i a*da)
+        # = (p * (da - c)) / s  with  c = (sum_i p*da) / s
+        c_ = jnp.sum(p * da, axis=0, keepdims=True) * inv_s           # (1, qb)
+        t = p * (da - c_)                                             # (N, qb)
+        tm = t.astype(jnp.bfloat16) if mxu_bf16 else t
 
-        dq_ref[0] = jnp.dot(dlm.T, k,
-                            preferred_element_type=jnp.float32).astype(
-            dq_ref.dtype)                                              # (qb, C)
+        dq_ref[0] = (jnp.dot(tm.T, k, preferred_element_type=jnp.float32)
+                     * inv_s.T).astype(dq_ref.dtype)                  # (qb, C)
 
-        dk_part = jnp.dot(dlm, q, preferred_element_type=jnp.float32)
-        dm_part = jnp.dot(am, g, preferred_element_type=jnp.float32)
+        q_s = (q * inv_s.T.astype(q.dtype))                           # (qb, C)
+        g_s = (g * inv_s.T.astype(g.dtype))
+        dk_part = jnp.dot(tm, q_s, preferred_element_type=jnp.float32)
+        dm_part = jnp.dot(pm, g_s, preferred_element_type=jnp.float32)
 
         @pl.when(qi == 0)
         def _():
@@ -163,10 +170,10 @@ def _attention_bwd_pallas(k, q, m, g, q_block: int, interpret: bool,
 
 def _bwd(q_block, interpret, mxu_bf16, res, g):
     k, q, m = res
-    n = k.shape[1]
-    # VMEM budget: two (N, qb) f32 panels + 4 input / 2 accumulator panels
-    bwd_qb = min(q_block, 128) if n >= 4096 else q_block
-    return _attention_bwd_pallas(k, q, m, g, bwd_qb, interpret, mxu_bf16)
+    # qb=512 at N=4096 holds four (N, qb) f32 panels (logits/p/da/t) ~32 MB,
+    # inside the 64 MB limit; swept on v5e: qb 128 -> 11.8 ms/op,
+    # 256 -> 8.7, 512 -> 7.9 (scripts/attn_microbench.py BWD=1)
+    return _attention_bwd_pallas(k, q, m, g, q_block, interpret, mxu_bf16)
 
 
 fused_spatial_attention.defvjp(_fwd, _bwd)

@@ -116,14 +116,38 @@ def main():
 
     qbs = tuple(int(x) for x in
                 os.environ.get("QBS", "128,256,512").split(","))
-    for qb in qbs:
-        if qb > n:
-            continue
-        for fold in (False, True):
+    if os.environ.get("FWD", "1") != "0":
+        for qb in qbs:
+            if qb > n:
+                continue
+            for fold in (False, True):
+                for bf16 in (False, True):
+                    f = chain(make_pallas(qb, bf16, fold))
+                    tag = f"pallas qb={qb} fold={int(fold)} bf16={int(bf16)}"
+                    print(f"{tag:31s}{timeit(f):8.3f} ms", flush=True)
+
+    # ---- backward kernel: chain dm -> g through the production bwd pallas
+    if os.environ.get("BWD", "0") != "0":
+        from hupr_tpu.ops.attention import _attention_bwd_pallas
+
+        def chain_bwd(qb, bf16):
+            @jax.jit
+            def f(k, q, m):
+                def body(i, g):
+                    dk, dq, dm = _attention_bwd_pallas(k, q, m, g, qb,
+                                                       False, bf16)
+                    return dm
+                out = jax.lax.fori_loop(0, inner, body, m)
+                return jnp.sum(out[0, 0])
+            return f
+
+        for qb in qbs:
+            if qb > n:
+                continue
             for bf16 in (False, True):
-                f = chain(make_pallas(qb, bf16, fold))
-                tag = f"pallas qb={qb} fold={int(fold)} bf16={int(bf16)}"
-                print(f"{tag:31s}{timeit(f):8.3f} ms", flush=True)
+                tag = f"bwd qb={qb} bf16={int(bf16)}"
+                print(f"{tag:31s}{timeit(chain_bwd(qb, bf16)):8.3f} ms",
+                      flush=True)
 
 
 if __name__ == "__main__":
