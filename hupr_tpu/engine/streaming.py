@@ -58,7 +58,9 @@ class StreamingPoseEstimator:
                                   method="pose_from_maps")
             k, h = gcn.shape[2], gcn.shape[3]
             pred2d, maxvals = get_max_preds(gcn.reshape(-1, k, h, h))
-            return pred2d[0], maxvals[0]
+            # pack into one (K, 3) array: a high-RTT link (PCIe is fine, the
+            # dev tunnel is not) pays per host fetch, so fetch ONCE per frame
+            return jnp.concatenate([pred2d[0], maxvals[0]], axis=-1)
 
         # latency path: ONE fused XLA program (and one dispatch) per frame —
         # encode + window shift + decode; separate dispatches would pay the
@@ -67,8 +69,7 @@ class StreamingPoseEstimator:
         def step(maps, hori_re, hori_im, vert_re, vert_im):
             ra, re = encode(hori_re, hori_im, vert_re, vert_im)
             new_maps = (push(maps[0], ra), push(maps[1], re))
-            pred2d, maxvals = decode(*new_maps)
-            return new_maps, pred2d, maxvals
+            return new_maps, decode(*new_maps)
 
         @jax.jit
         def first_step(hori_re, hori_im, vert_re, vert_im):
@@ -76,15 +77,13 @@ class StreamingPoseEstimator:
             ra, re = encode(hori_re, hori_im, vert_re, vert_im)
             maps = (jnp.broadcast_to(ra[None], (group,) + ra.shape),
                     jnp.broadcast_to(re[None], (group,) + re.shape))
-            pred2d, maxvals = decode(*maps)
-            return maps, pred2d, maxvals
+            return maps, decode(*maps)
 
         @jax.jit
         def flush_step(maps):
             new_maps = (push(maps[0], maps[0][-1]),
                         push(maps[1], maps[1][-1]))
-            pred2d, maxvals = decode(*new_maps)
-            return new_maps, pred2d, maxvals
+            return new_maps, decode(*new_maps)
 
         self._step = step
         self._first_step = first_step
@@ -125,14 +124,14 @@ class StreamingPoseEstimator:
         vr, vi = split(vert_frame)
 
         if self._maps is None:
-            self._maps, pred2d, maxvals = self._first_step(hr, hi, vr, vi)
+            self._maps, packed = self._first_step(hr, hi, vr, vi)
         else:
-            self._maps, pred2d, maxvals = self._step(self._maps,
-                                                     hr, hi, vr, vi)
+            self._maps, packed = self._step(self._maps, hr, hi, vr, vi)
         self._count += 1
         if not fetch:
-            return pred2d, maxvals
-        return np.asarray(pred2d), np.asarray(maxvals)
+            return packed[:, :2], packed[:, 2:]
+        arr = np.asarray(packed)           # ONE host fetch per frame
+        return arr[:, :2], arr[:, 2:]
 
     def flush(self):
         """End of sequence: emit the remaining G/2 - 1 poses by re-pushing the
@@ -142,6 +141,7 @@ class StreamingPoseEstimator:
         if self._maps is None:
             return out
         for _ in range(self.latency_frames):
-            self._maps, pred2d, maxvals = self._flush_step(self._maps)
-            out.append((np.asarray(pred2d), np.asarray(maxvals)))
+            self._maps, packed = self._flush_step(self._maps)
+            arr = np.asarray(packed)
+            out.append((arr[:, :2], arr[:, 2:]))
         return out
