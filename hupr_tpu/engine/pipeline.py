@@ -61,6 +61,10 @@ def make_e2e_infer(model, variables, params: RadarParams = RadarParams(),
 
     def run(hori_re, hori_im, vert_re, vert_im):
         def cube(re, im):
+            # accept int16 I/Q planes (the DCA1000's native sample format):
+            # casting on device halves host->device ingest bytes bit-exactly
+            re = re.astype(jnp.float32)
+            im = im.astype(jnp.float32)
             c = jax.vmap(lambda fr: radar_cube_single_frame(fr, params))(
                 re + 1j * im)
             return jnp.real(c), jnp.imag(c)

@@ -40,6 +40,9 @@ class StreamingPoseEstimator:
 
         def encode(hori_re, hori_im, vert_re, vert_im):
             def cube(re, im):
+                # int16 I/Q planes (native ADC format) cast on device
+                re = re.astype(jnp.float32)
+                im = im.astype(jnp.float32)
                 c = radar_cube_single_frame(re + 1j * im, params)
                 return jnp.real(c)[None], jnp.imag(c)[None]
 
@@ -113,9 +116,10 @@ class StreamingPoseEstimator:
         frame's transfer/compute with reading this result later.
         """
         def split(f):
+            # (re, im) tuples keep their dtype on the wire (int16 ADC planes
+            # transfer at half the bytes; the device casts to f32 bit-exactly)
             if isinstance(f, tuple):
-                return (jnp.asarray(f[0], jnp.float32),
-                        jnp.asarray(f[1], jnp.float32))
+                return jnp.asarray(f[0]), jnp.asarray(f[1])
             f = np.asarray(f)
             return (jnp.asarray(f.real, jnp.float32),
                     jnp.asarray(f.imag, jnp.float32))

@@ -57,6 +57,26 @@ def test_pipeline_matches_naive_path():
     np.testing.assert_allclose(np.asarray(pred_fast), np.asarray(pred_ref))
 
 
+def test_pipeline_int16_ingest_bit_exact():
+    """int16 I/Q planes (the DCA1000's native format) must produce the same
+    predictions as pre-cast f32 planes: the device-side cast is exact."""
+    rng = np.random.default_rng(3)
+    f = 8
+    mk = lambda: rng.integers(-300, 300, (f, 4, 192, 256)).astype(np.int16)
+    hr, hi, vr, vi = mk(), mk(), mk(), mk()
+
+    model = HuPRNet(num_filters=2)
+    ex = jnp.zeros((1, 8, 8, 2, 64, 64, 8), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), ex, ex)
+    run = make_e2e_infer(model, variables, duration=f)
+
+    pred_i16, max_i16 = run(hr, hi, vr, vi)
+    pred_f32, max_f32 = run(*(a.astype(np.float32) for a in (hr, hi, vr, vi)))
+
+    np.testing.assert_array_equal(np.asarray(pred_i16), np.asarray(pred_f32))
+    np.testing.assert_array_equal(np.asarray(max_i16), np.asarray(max_f32))
+
+
 def test_pipeline_sharded_matches_single_device():
     """Frame-axis-sharded serving over the 8-device mesh must equal the
     single-device program: the sliding window crosses shard boundaries, so
