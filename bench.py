@@ -20,7 +20,7 @@ other BASELINE configs:
   ingest_frames_per_sec — serving INCLUDING host->device raw-ADC transfer
     (double-buffered via async dispatch; tunnel-bound in this dev env)
   stream_latency_ms — per-frame latency of the fused streaming estimator,
-    device-resident steady state incl. the (K,2) result fetch
+    device-resident steady state incl. the single packed (K,3) result fetch
   loader_samples_per_sec — host-side BatchLoader assembly rate over real
     .npy files (cold cache), SETUP.numWorkers threads
 
@@ -184,7 +184,7 @@ def main():
         result["train_samples_per_sec"] = round(b / dt, 2)
 
     # ---- streaming latency: fused per-frame step, device-resident inputs,
-    # including the per-frame (K, 2) result fetch
+    # including the per-frame packed (K, 3) result fetch
     if os.environ.get("BENCH_STREAM", "1") != "0":
         from hupr_tpu.engine.streaming import StreamingPoseEstimator
 

@@ -10,8 +10,10 @@ see the future, so predictions correspond to the frame G/2-1 steps back —
 `latency_frames` documents that.
 
 Everything stays on device between frames; per-frame host work is one
-raw-ADC transfer, ONE fused jitted dispatch (encode + window shift + decode
-in a single XLA program), and one (K, 2) fetch. bench.py reports the
+raw-ADC transfer (int16 I/Q planes pass through at native width and are cast
+on device), ONE fused jitted dispatch (encode + window shift + decode in a
+single XLA program), and ONE packed (K, 3) result fetch — pred2d and maxvals
+together, since a high-RTT link pays per fetch. bench.py reports the
 steady-state per-frame latency as stream_latency_ms.
 """
 
@@ -105,7 +107,8 @@ class StreamingPoseEstimator:
     def process_frame(self, hori_frame: np.ndarray, vert_frame: np.ndarray,
                       fetch: bool = True):
         """One raw ADC frame per view, each (RX=4, 192, 256) complex (or a
-        (re, im) float32 tuple) -> (keypoints (K, 2) heatmap coords, maxvals).
+        (re, im) tuple — float32 or native int16 ADC planes, cast on device)
+        -> (keypoints (K, 2) heatmap coords, maxvals).
 
         The first G/2 calls replicate-initialize the window (sequence start
         clamp); every call emits the pose for the window centered G/2-1

@@ -11,8 +11,10 @@ this kernel keeps logits/softmax in VMEM per q-block and only ever writes the
 (N, C) result. N <= 4096 and C <= 256, so full K/M panels fit in VMEM and no
 online-softmax pass is needed.
 
-Backward: custom VJP recomputing the softmax with plain einsums (XLA), so the
-kernel accelerates both inference and the training forward pass.
+Backward: a second Pallas kernel (custom VJP) that recomputes the
+unnormalized softmax per q-block in VMEM and accumulates dk/dm across
+q-blocks; the 1/s normalization is folded onto the small (qb, C) panels so
+no extra full-(N, qb) pass is spent on it.
 """
 
 from __future__ import annotations
@@ -172,8 +174,11 @@ def _bwd(q_block, interpret, mxu_bf16, res, g):
     k, q, m = res
     # qb=512 at N=4096 holds four (N, qb) f32 panels (logits/p/da/t) ~32 MB,
     # inside the 64 MB limit; swept on v5e: qb 128 -> 11.8 ms/op,
-    # 256 -> 8.7, 512 -> 7.9 (scripts/attn_microbench.py BWD=1)
-    return _attention_bwd_pallas(k, q, m, g, q_block, interpret, mxu_bf16)
+    # 256 -> 8.7, 512 -> 7.9 (scripts/attn_microbench.py BWD=1).
+    # Clamp: qb=1024 at N=4096 would put the four panels alone at the 64 MB
+    # vmem_limit before inputs/accumulators.
+    return _attention_bwd_pallas(k, q, m, g, min(q_block, 512), interpret,
+                                 mxu_bf16)
 
 
 fused_spatial_attention.defvjp(_fwd, _bwd)

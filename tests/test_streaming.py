@@ -42,6 +42,26 @@ def test_streaming_matches_batch_pipeline():
         np.testing.assert_allclose(stream_preds[i], batch_pred[i])
 
 
+def test_streaming_int16_ingest_bit_exact():
+    """int16 (re, im) tuples — the native ADC wire format — must produce the
+    same poses as pre-cast f32 planes (device-side cast is exact)."""
+    model = HuPRNet(num_filters=2)
+    ex = jnp.zeros((1, 8, 8, 2, 64, 64, 8), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), ex, ex)
+    rng = np.random.default_rng(2)
+    mk = lambda: rng.integers(-300, 300, (4, 192, 256)).astype(np.int16)
+    hr, hi, vr, vi = mk(), mk(), mk(), mk()
+
+    est16 = StreamingPoseEstimator(model, variables)
+    p16, m16 = est16.process_frame((hr, hi), (vr, vi))
+    est32 = StreamingPoseEstimator(model, variables)
+    p32, m32 = est32.process_frame(
+        (hr.astype(np.float32), hi.astype(np.float32)),
+        (vr.astype(np.float32), vi.astype(np.float32)))
+    np.testing.assert_array_equal(p16, p32)
+    np.testing.assert_array_equal(m16, m32)
+
+
 def test_streaming_reset():
     model = HuPRNet(num_filters=2)
     ex = jnp.zeros((1, 8, 8, 2, 64, 64, 8), jnp.float32)
