@@ -156,6 +156,7 @@ class HuPRDataset:
         self.use_native = use_native
         self._inner_shape = (d.rangeSize, d.azimuthSize, d.elevationSize)
         self._num_io_threads = getattr(cfg.SETUP, "numWorkers", 4)
+        self._load_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self.image_ids) // self.sampling_ratio
@@ -170,18 +171,32 @@ class HuPRDataset:
 
     def _frames(self, paths: List[str]):
         """Fetch frames through the LRU cache; cache misses are batch-loaded
-        by the threaded C++ loader when available."""
-        missing = [p for p in dict.fromkeys(paths) if not self._cache.has(p)]
-        if missing and self.use_native:
-            from hupr_tpu.data.native_loader import load_frames
-            loaded = load_frames(missing, self._chirp_start, self.num_frames,
-                                 self._inner_shape, self._num_io_threads)
-            if loaded is not None:
-                re, im = loaded
-                for i, p in enumerate(missing):
-                    self._cache.put(p, (re[i], im[i]))
-            else:
-                self.use_native = False  # fall back permanently on failure
+        by the threaded C++ loader when available.
+
+        Misses fill under a single-flight lock: concurrent BatchLoader pool
+        workers share G-1 of G window frames, and without it each would
+        redundantly re-load the same files (the bulk load is itself
+        IO-parallel via the native loader's thread pool)."""
+        with self._load_lock:
+            missing = [p for p in dict.fromkeys(paths)
+                       if not self._cache.has(p)]
+            if missing and self.use_native:
+                from hupr_tpu.data.native_loader import load_frames
+                loaded = load_frames(missing, self._chirp_start,
+                                     self.num_frames, self._inner_shape,
+                                     self._num_io_threads)
+                if loaded is not None:
+                    re, im = loaded
+                    for i, p in enumerate(missing):
+                        # copy: caching views of the bulk array would keep
+                        # the whole base alive past eviction, defeating the
+                        # cache's byte bound
+                        self._cache.put(p, (re[i].copy(), im[i].copy()))
+                    missing = []
+                else:
+                    self.use_native = False  # fall back permanently
+            for p in missing:
+                self._cache.put(p, self._load_frame_numpy(p))
         return [self._cache.get(p, lambda p=p: self._load_frame_numpy(p))
                 for p in paths]
 
@@ -341,25 +356,41 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         done = object()
         failure: list = []
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that aborts when the consumer goes away, so an
+            # abandoned iterator doesn't pin a thread + prefetched batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for b in self._batches():
-                    q.put(b)
+                    if not put(b):
+                        return
             except BaseException as exc:  # propagate to the consumer
                 failure.append(exc)
             finally:
-                q.put(done)
+                put(done)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is done:
-                if failure:
-                    raise failure[0]
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    if failure:
+                        raise failure[0]
+                    break
+                yield item
+        finally:
+            stop.set()  # consumer finished or bailed early: release producer
 
 
 def get_dataset(phase: str, cfg, sampling_ratio: int = 1, **kw) -> HuPRDataset:

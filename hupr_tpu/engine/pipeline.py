@@ -33,6 +33,24 @@ def window_stack(x: jnp.ndarray, group: int) -> jnp.ndarray:
     return jnp.stack([xp[j:j + f] for j in range(group)], axis=1)
 
 
+def window_stack_sequences(x: jnp.ndarray, group: int,
+                           duration: int) -> jnp.ndarray:
+    """window_stack with the reference's per-sequence clamp (dataset.py:
+    126-138 computes `index % duration`): a stack of F frames spanning
+    F/duration sequences windows each duration-frame chunk independently,
+    never bleeding across a sequence boundary. F must divide into whole
+    sequences (or be a single partial sequence, F <= duration)."""
+    f = x.shape[0]
+    if f <= duration:
+        return window_stack(x, group)
+    if f % duration != 0:
+        raise ValueError(
+            f"frame stack of {f} must be whole {duration}-frame sequences")
+    chunks = x.reshape((f // duration, duration) + x.shape[1:])
+    out = jax.vmap(lambda seq: window_stack(seq, group))(chunks)
+    return out.reshape((f, group) + x.shape[1:])
+
+
 def cube_chirp_input(cubes_real, cubes_imag, num_chirps=16, num_frames=8):
     """(F, 16, R, A, E) cube halves -> normalized per-frame model input
     (F, 1, C, 2, R, A, E) (G=1: windowing happens after MNet)."""
@@ -74,10 +92,11 @@ def make_e2e_infer(model, variables, params: RadarParams = RadarParams(),
         hori = cube_chirp_input(hr, hi)
         vert = cube_chirp_input(vr, vi)
 
-        # per-frame chirp encoding, then window the encoded maps
+        # per-frame chirp encoding, then window the encoded maps (clamped
+        # per duration-frame sequence, like the reference's index % duration)
         ra, re = model.apply(variables, hori, vert, method="chirp_maps")
-        ra = window_stack(ra[:, 0], group)              # (F, G, R, A, C)
-        re = window_stack(re[:, 0], group)
+        ra = window_stack_sequences(ra[:, 0], group, duration)  # (F,G,R,A,C)
+        re = window_stack_sequences(re[:, 0], group, duration)
         heatmap, gcn = model.apply(variables, ra, re,
                                    method="pose_from_maps")
         k, h = gcn.shape[2], gcn.shape[3]

@@ -68,7 +68,8 @@ class Runner:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.model = build_model(cfg)
         self.tx = make_optimizer(cfg)
-        self.state = init_state(self.model, cfg, jax.random.PRNGKey(args.seed))
+        self.state = init_state(self.model, cfg, jax.random.PRNGKey(args.seed),
+                                tx=self.tx)
         self.state = replicate_state(self.state, self.mesh)
         geometry = (d.numKeypoints, d.heatmapSize, d.imgSize)
         self.train_step = make_train_step(self.model, self.tx,
@@ -231,17 +232,28 @@ class Runner:
         for epoch in range(self.start_epoch, t.epochs):
             loss_list = []
             self.logger.clear(len(self.train_set))
+            # loss scalars convert one step deferred: float() blocks on that
+            # step's completion, so converting batch i-1 while batch i runs
+            # keeps the device busy through the host's logging/LR work
+            pending = None
             for idx_batch, (device_batch, _, true_b) in enumerate(
                     device_prefetch(self.train_loader, self.mesh,
                                     pad_to=t.batchSize)):
                 self.advance_alpha()
                 self.state, metrics = self.train_step(
                     self.state, device_batch, self.lr, self.alpha)
-                loss = float(metrics["loss"])
-                self.logger.display(loss, float(metrics["loss2"]), true_b,
-                                    epoch)
+                if pending is not None:
+                    pm, pb = pending
+                    loss = float(pm["loss"])
+                    self.logger.display(loss, float(pm["loss2"]), pb, epoch)
+                    loss_list.append(loss)
+                pending = (metrics, true_b)
                 if idx_batch % t.lrDecayIter == 0:
                     self.adjust_lr(epoch)
+            if pending is not None:
+                pm, pb = pending
+                loss = float(pm["loss"])
+                self.logger.display(loss, float(pm["loss2"]), pb, epoch)
                 loss_list.append(loss)
             acc_ap = self.eval(visualization=False, epoch=epoch)
             self.save_model_weight(epoch, acc_ap)

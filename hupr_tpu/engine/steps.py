@@ -52,13 +52,17 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
     raise ValueError(cfg.TRAINING.optimizer)
 
 
-def init_state(model, cfg, rng, example_batch=None) -> TrainState:
+def init_state(model, cfg, rng, example_batch=None, tx=None) -> TrainState:
+    """tx: the optax chain whose update will consume this state; pass the
+    same instance given to make_train_step (defaults to make_optimizer(cfg),
+    correct as long as the caller doesn't customize the chain)."""
     d = cfg.DATASET
     shape = (1, d.numGroupFrames, d.numFrames, 2, d.rangeSize, d.azimuthSize,
              d.elevationSize)
     hori = jnp.zeros(shape, jnp.float32)
     variables = model.init(rng, hori, hori)
-    tx = make_optimizer(cfg)
+    if tx is None:
+        tx = make_optimizer(cfg)
     return TrainState(
         params=variables["params"],
         batch_stats=variables.get("batch_stats", {}),

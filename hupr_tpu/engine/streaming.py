@@ -141,14 +141,23 @@ class StreamingPoseEstimator:
         return arr[:, :2], arr[:, 2:]
 
     def flush(self):
-        """End of sequence: emit the remaining G/2 - 1 poses by re-pushing the
-        final frame (the offline end-of-sequence clamp). Returns a list of
-        (pred2d, maxvals)."""
+        """End of sequence: emit the remaining min(frames_processed, G/2 - 1)
+        poses by re-pushing the final frame (the offline end-of-sequence
+        clamp), then reset for the next sequence.
+
+        For a sequence shorter than the lookahead (F <= G/2 - 1) every valid
+        pose comes from flush: the first (G/2-1) - F windows are still
+        warming up and are pushed but not emitted, so a consumer that drops
+        the first `latency_frames` process_frame outputs and appends all
+        flush outputs always ends up with exactly F poses."""
         out = []
         if self._maps is None:
             return out
-        for _ in range(self.latency_frames):
+        skip = max(0, self.latency_frames - self._count)
+        for i in range(self.latency_frames):
             self._maps, packed = self._flush_step(self._maps)
-            arr = np.asarray(packed)
-            out.append((arr[:, :2], arr[:, 2:]))
+            if i >= skip:
+                arr = np.asarray(packed)
+                out.append((arr[:, :2], arr[:, 2:]))
+        self.reset()
         return out

@@ -162,6 +162,29 @@ def test_batch_loader_parallel_assembly_matches_serial(tmp_path):
                 np.testing.assert_array_equal(a[k], b[k])
 
 
+def test_batch_loader_abandoned_iterator_releases_producer(tmp_path):
+    """Breaking out of iteration early must unblock and finish the prefetch
+    thread instead of leaving it pinned on a full queue forever."""
+    import threading
+    import time
+
+    from hupr_tpu.data import BatchLoader, get_dataset
+
+    data_dir = str(tmp_path / "data")
+    make_tiny_dataset(data_dir, [1])
+    cfg = tiny_cfg(data_dir)
+    ds = get_dataset("val", cfg, 1)
+
+    before = threading.active_count()
+    it = iter(BatchLoader(ds, 2, shuffle=False, prefetch=1))
+    next(it)
+    it.close()  # abandon mid-iteration (what a consumer exception does)
+    deadline = time.monotonic() + 10.0
+    while threading.active_count() > before and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "prefetch thread leaked"
+
+
 def test_frame_cache_byte_bound():
     from hupr_tpu.data.dataset import FrameCache
     c = FrameCache(max_items=100, max_bytes=4096)

@@ -57,6 +57,21 @@ def test_pipeline_matches_naive_path():
     np.testing.assert_allclose(np.asarray(pred_fast), np.asarray(pred_ref))
 
 
+def test_window_stack_sequences_respects_boundaries():
+    """A stack spanning several sequences must clamp windows inside each
+    duration-frame sequence (reference index % duration, dataset.py:126-138),
+    matching the window_indices table which encodes exactly that."""
+    from hupr_tpu.engine.pipeline import window_stack_sequences
+
+    rng = np.random.default_rng(4)
+    duration, seqs = 8, 3
+    f = duration * seqs
+    x = jnp.asarray(rng.standard_normal((f, 2, 3)).astype(np.float32))
+    got = np.asarray(window_stack_sequences(x, 8, duration))
+    want = np.asarray(x)[window_indices(f, duration=duration, group=8)]
+    np.testing.assert_allclose(got, want)
+
+
 def test_pipeline_int16_ingest_bit_exact():
     """int16 I/Q planes (the DCA1000's native format) must produce the same
     predictions as pre-cast f32 planes: the device-side cast is exact."""

@@ -42,6 +42,39 @@ def test_streaming_matches_batch_pipeline():
         np.testing.assert_allclose(stream_preds[i], batch_pred[i])
 
 
+def test_streaming_short_sequence_matches_batch():
+    """A sequence shorter than the lookahead (F=2 < G/2-1=3) must still
+    yield exactly F poses, equal to the offline pipeline's (all of them come
+    from flush; the warming-up flush windows are not emitted)."""
+    rng = np.random.default_rng(5)
+    f = 2
+    mk = lambda: rng.standard_normal((f, 4, 192, 256)).astype(np.float32)
+    hr, hi, vr, vi = mk(), mk(), mk(), mk()
+
+    model = HuPRNet(num_filters=2)
+    ex = jnp.zeros((1, 8, 8, 2, 64, 64, 8), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), ex, ex)
+
+    run = make_e2e_infer(model, variables, duration=f)
+    batch_pred = np.asarray(run(hr, hi, vr, vi)[0])
+
+    est = StreamingPoseEstimator(model, variables)
+    lag = est.latency_frames
+    stream_preds = []
+    for t in range(f):
+        pred, _ = est.process_frame((hr[t], hi[t]), (vr[t], vi[t]))
+        if t >= lag:
+            stream_preds.append(pred)
+    for pred, _ in est.flush():
+        stream_preds.append(pred)
+
+    assert len(stream_preds) == f
+    for i in range(f):
+        np.testing.assert_allclose(stream_preds[i], batch_pred[i])
+    # flush resets: the next frame starts a fresh sequence
+    assert est._maps is None
+
+
 def test_streaming_int16_ingest_bit_exact():
     """int16 (re, im) tuples — the native ADC wire format — must produce the
     same poses as pre-cast f32 planes (device-side cast is exact)."""
