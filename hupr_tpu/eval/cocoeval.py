@@ -176,25 +176,32 @@ class KeypointEvaluator:
     def evaluate(self, idx_keypoint: int = -1):
         p = self.params
         t_count = len(p.iou_thrs)
-        self._eval_imgs = {}
-        for a_idx, (a_lo, a_hi) in enumerate(p.area_rngs):
-            per_img = []
-            for img_id in self.img_ids:
-                gts = self._gt_by_img.get(img_id, [])
-                dts = sorted(self._dt_by_img.get(img_id, []),
-                             key=lambda d: -d["score"])[: p.max_dets]
-                if not gts and not dts:
-                    per_img.append(None)
-                    continue
+        a_count = len(p.area_rngs)
+        self._eval_imgs = {a_idx: [] for a_idx in range(a_count)}
+        for img_id in self.img_ids:
+            gts = self._gt_by_img.get(img_id, [])
+            dts = sorted(self._dt_by_img.get(img_id, []),
+                         key=lambda d: -d["score"])[: p.max_dets]
+            if not gts and not dts:
+                for a_idx in range(a_count):
+                    self._eval_imgs[a_idx].append(None)
+                continue
 
+            # OKS is independent of the area range: compute once per image
+            # in original gt order and permute columns per range (pycocotools
+            # computes self.ious once and indexes ious[:, gtind]).
+            ious_base = self._oks(gts, dts, idx_keypoint)
+
+            for a_idx, (a_lo, a_hi) in enumerate(p.area_rngs):
                 gt_ignore = np.array(
                     [g["_ignore"] or g["area"] < a_lo or g["area"] > a_hi
                      for g in gts], dtype=bool)
                 order = np.argsort(gt_ignore, kind="stable")
                 gts_sorted = [gts[i] for i in order]
                 gt_ignore = gt_ignore[order]
-
-                ious = self._oks(gts_sorted, dts, idx_keypoint)
+                gt_iscrowd = np.array(
+                    [int(g.get("iscrowd", 0)) for g in gts_sorted], dtype=bool)
+                ious = ious_base[:, order] if ious_base.size else ious_base
 
                 n_gt, n_dt = len(gts_sorted), len(dts)
                 gt_matched = np.zeros((t_count, n_gt), dtype=bool)
@@ -211,7 +218,9 @@ class KeypointEvaluator:
                             best = min(thr, 1 - 1e-10)
                             match = -1
                             for gi in range(n_gt):
-                                if gt_matched[ti, gi]:
+                                # a crowd gt may be matched repeatedly
+                                # (cocoeval.py:283)
+                                if gt_matched[ti, gi] and not gt_iscrowd[gi]:
                                     continue
                                 # stop at ignored gts once a real match exists
                                 if match > -1 and not gt_ignore[match] and gt_ignore[gi]:
@@ -230,13 +239,12 @@ class KeypointEvaluator:
                                    for d in dts], dtype=bool)
                 dt_ignore |= (dt_match_gtid == 0) & dt_out[None, :]
 
-                per_img.append({
+                self._eval_imgs[a_idx].append({
                     "scores": np.array([d["score"] for d in dts]),
                     "matched": dt_match_gtid != 0,
                     "dt_ignore": dt_ignore,
                     "n_pos": int((~gt_ignore).sum()),
                 })
-            self._eval_imgs[a_idx] = per_img
         return self
 
     # ---------------- PR accumulation ----------------

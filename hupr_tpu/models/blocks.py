@@ -9,7 +9,6 @@ All call sites use kernel 3, stride 1, padding 1. Layout here is channels-last
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable
 
 import flax.linen as nn
 import jax
@@ -29,14 +28,6 @@ class PReLU(nn.Module):
                        lambda key, shape, dtype=jnp.float32: jnp.full(shape, self.init_value, dtype),
                        (1,))
         return jnp.maximum(x, 0) + a.astype(x.dtype) * jnp.minimum(x, 0)
-
-
-def make_activation(name: str) -> Callable[[], nn.Module]:
-    if name == "relu":
-        return lambda: None  # parameter-free; applied via jnp directly
-    if name == "prelu":
-        return PReLU
-    raise ValueError(name)
 
 
 class TorchBatchNorm(nn.Module):

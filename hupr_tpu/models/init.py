@@ -19,15 +19,6 @@ def torch_conv_kernel_init(key, shape, dtype):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
-def torch_conv_bias_init(fan_in: int):
-    bound = 1.0 / np.sqrt(fan_in)
-
-    def init(key, shape, dtype):
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
-
-    return init
-
-
 def uniform_init(bound: float):
     def init(key, shape, dtype=np.float32):
         return jax.random.uniform(key, shape, dtype, -bound, bound)

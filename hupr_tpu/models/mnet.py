@@ -13,14 +13,6 @@ import jax.numpy as jnp
 from hupr_tpu.models.blocks import conv
 
 
-class Identity(nn.Module):
-    """Pass-through module (reference chirp_networks.py:5-9)."""
-
-    @nn.compact
-    def __call__(self, x):
-        return x
-
-
 class MNet(nn.Module):
     out_channels: int
     num_frames: int

@@ -156,9 +156,13 @@ def _attention_bwd_pallas(k, q, m, g, q_block: int, interpret: bool,
         grid=grid,
         in_specs=[panel(), qpanel(), panel(), qpanel()],
         out_specs=(panel(), qpanel(), panel()),
-        out_shape=(jax.ShapeDtypeStruct((b, n, c), k.dtype),
+        # dk/dm accumulate across the qi grid dimension in the output ref:
+        # keep them f32 regardless of input dtype so bf16 inputs don't take
+        # an N/q_block-long chain of bf16 round-offs (the XLA einsum path
+        # accumulates grads in f32 and casts once); _bwd casts at the end.
+        out_shape=(jax.ShapeDtypeStruct((b, n, c), jnp.float32),
                    jax.ShapeDtypeStruct((b, n, c), q.dtype),
-                   jax.ShapeDtypeStruct((b, n, c), m.dtype)),
+                   jax.ShapeDtypeStruct((b, n, c), jnp.float32)),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * n * c * 5,
             bytes_accessed=7 * b * n * c * 4,
@@ -177,8 +181,9 @@ def _bwd(q_block, interpret, mxu_bf16, res, g):
     # 256 -> 8.7, 512 -> 7.9 (scripts/attn_microbench.py BWD=1).
     # Clamp: qb=1024 at N=4096 would put the four panels alone at the 64 MB
     # vmem_limit before inputs/accumulators.
-    return _attention_bwd_pallas(k, q, m, g, min(q_block, 512), interpret,
-                                 mxu_bf16)
+    dk, dq, dm = _attention_bwd_pallas(k, q, m, g, min(q_block, 512),
+                                       interpret, mxu_bf16)
+    return dk.astype(k.dtype), dq, dm.astype(m.dtype)
 
 
 fused_spatial_attention.defvjp(_fwd, _bwd)

@@ -35,8 +35,7 @@ def generate_target(joints: jnp.ndarray, num_keypoints: int, heatmap_size: int,
         s = float(2 if heatmap_size == 64 else 3)
         sigma_flat = jnp.full((num_keypoints,), s, jnp.float32)
     sigma = sigma_flat[:, None, None]
-    tmp_flat = jnp.floor(sigma_flat * 3.0).astype(jnp.int32)   # (K,)
-    tmp_size = tmp_flat[:, None, None]
+    tmp_flat = sigma_flat * 3.0                 # (K,) float, can be fractional
     feat_stride = img_size / heatmap_size
 
     # the reference casts with int(), which truncates toward zero — NOT
@@ -48,24 +47,31 @@ def generate_target(joints: jnp.ndarray, num_keypoints: int, heatmap_size: int,
     else:
         mu = jnp.trunc(joints[:, :2].astype(jnp.float32) / feat_stride + 0.5
                        ).astype(jnp.int32)
-    mu_x = mu[:, 0][:, None, None]          # (K,1,1)
-    mu_y = mu[:, 1][:, None, None]
+    mu_f = mu.astype(jnp.float32)
+
+    # patch geometry exactly as the reference pastes it (utils.py:40-61):
+    # ul = int(mu - 3σ), br = int(mu + 3σ + 1) (trunc), and the Gaussian
+    # center sits at patch index (2·3σ+1)//2 == floor(3σ+0.5), i.e. at image
+    # coordinate ul + floor(3σ+0.5). For integer 3σ that center is mu; for
+    # fractional 3σ the window is asymmetric (e.g. dx ∈ [-8,+7] at 3σ=7.5)
+    # and near the left edge (trunc ≠ floor) the center shifts off mu —
+    # reference quirks, reproduced bit-for-bit.
+    ul = jnp.trunc(mu_f - tmp_flat[:, None]).astype(jnp.int32)      # (K,2)
+    br = jnp.trunc(mu_f + tmp_flat[:, None] + 1.0).astype(jnp.int32)
+    center = ul.astype(jnp.float32) + jnp.floor(tmp_flat + 0.5)[:, None]
 
     xs = jnp.arange(heatmap_size, dtype=jnp.int32)[None, None, :]
     ys = jnp.arange(heatmap_size, dtype=jnp.int32)[None, :, None]
-    dx = xs - mu_x
-    dy = ys - mu_y
-    g = jnp.exp(-(dx.astype(jnp.float32) ** 2 + dy.astype(jnp.float32) ** 2)
-                / (2.0 * sigma * sigma))
-    # reference writes only within the (2*3σ+1)^2 patch: ul=mu-3σ, br=mu+3σ
-    inside = (jnp.abs(dx) <= tmp_size) & (jnp.abs(dy) <= tmp_size)
+    dx = xs.astype(jnp.float32) - center[:, 0][:, None, None]
+    dy = ys.astype(jnp.float32) - center[:, 1][:, None, None]
+    g = jnp.exp(-(dx ** 2 + dy ** 2) / (2.0 * sigma * sigma))
+    inside = ((xs >= ul[:, 0][:, None, None]) & (xs < br[:, 0][:, None, None])
+              & (ys >= ul[:, 1][:, None, None]) & (ys < br[:, 1][:, None, None]))
     target = jnp.where(inside, g, 0.0)
     # joints whose whole window falls outside the map are skipped entirely —
     # including their peak coords (reference utils.py:41-43 `continue`)
-    in_bounds = ((mu[:, 0] - tmp_flat < heatmap_size)
-                 & (mu[:, 1] - tmp_flat < heatmap_size)
-                 & (mu[:, 0] + tmp_flat + 1 >= 0)
-                 & (mu[:, 1] + tmp_flat + 1 >= 0))
+    in_bounds = ((ul[:, 0] < heatmap_size) & (ul[:, 1] < heatmap_size)
+                 & (br[:, 0] >= 0) & (br[:, 1] >= 0))
     target = target * in_bounds[:, None, None].astype(jnp.float32)
     peak = mu.astype(jnp.float32) * in_bounds[:, None].astype(jnp.float32)
     return target.astype(jnp.float32), peak

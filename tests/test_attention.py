@@ -44,3 +44,46 @@ def test_pallas_attention_gradients_match():
     for a, b in zip(g_ref, g_pal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-3, rtol=1e-4)
+
+
+def test_pallas_attention_bf16_grads_accumulate_in_f32():
+    """bf16 inputs (cfg.MODEL.computeDtype='bfloat16'): the dk/dm cross-block
+    accumulation must run in f32 — one bf16 rounding at the end, not one per
+    q-block. q_block=64 at N=1024 gives a 16-step accumulation chain; per-
+    block bf16 rounding would drift well past one-ulp agreement with the
+    f32-computed reference gradients."""
+    from hupr_tpu.ops.attention import fused_spatial_attention
+
+    b, n, c = 1, 1024, 16
+    rng = np.random.default_rng(3)
+    mk = lambda: jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+    kf, qf, mf = mk(), mk(), mk()
+    kb, qb, mb = (x.astype(jnp.bfloat16) for x in (kf, qf, mf))
+
+    def loss_f32(k, q, m):
+        # f32 reference on the bf16 values: the ideal (exactly-accumulated)
+        # gradients for the same inputs
+        return jnp.sum(fused_spatial_attention(
+            k, q, m, 1024, True, False) ** 2)
+
+    def loss_bf16(k, q, m):
+        return jnp.sum(fused_spatial_attention(
+            k, q, m, 64, True, False).astype(jnp.float32) ** 2)
+
+    g_ref = jax.grad(loss_f32, argnums=(0, 2))(
+        kb.astype(jnp.float32), qb.astype(jnp.float32), mb.astype(jnp.float32))
+    g_pal = jax.grad(loss_bf16, argnums=(0, 2))(kb, qb, mb)
+    for name, a, g in zip("km", g_ref, g_pal):
+        assert np.asarray(g).dtype == jnp.bfloat16  # caller-facing dtype kept
+        a = np.asarray(a, dtype=np.float32)
+        g = np.asarray(g, dtype=np.float32)
+        # f32 accumulation: aggregate drift stays at the single-rounding
+        # scale (~2^-9); a 16-step bf16 accumulator chain lands ~4-8x higher
+        rel = np.linalg.norm(a - g) / np.linalg.norm(a)
+        assert rel < 2.0 ** -8.5, (
+            f"grad d{name} rel error {rel:.2e} exceeds bf16 single-rounding")
+
+    # pin the mechanism too: the raw kernel's dk/dm accumulators are f32
+    from hupr_tpu.ops.attention import _attention_bwd_pallas
+    dk, dq, dm = _attention_bwd_pallas(kb, qb, mb, mb, 64, True, False)
+    assert dk.dtype == jnp.float32 and dm.dtype == jnp.float32

@@ -104,9 +104,12 @@ def _random_scenario(rng):
             w = float(rng.uniform(40, 220))
             h = float(rng.uniform(40, 220))
             ann_id += 1
+            # occasional crowd gt: ignored, but matchable repeatedly
+            # (cocoeval.py:283 `gtm>0 and not iscrowd -> continue`)
+            iscrowd = int(rng.random() < 0.15)
             anns.append({
                 "id": ann_id, "image_id": img_id, "category_id": 1,
-                "iscrowd": 0, "num_keypoints": int((vis > 0).sum()),
+                "iscrowd": iscrowd, "num_keypoints": int((vis > 0).sum()),
                 "keypoints": kpts,
                 "bbox": [float(rng.uniform(0, 30)),
                          float(rng.uniform(0, 30)), w, h],

@@ -88,9 +88,7 @@ def test_generate_target_per_joint_sigmas_matches_reference(ref_utils):
 
     rng = np.random.default_rng(2)
     joints = rng.uniform(40, 210, (14, 2))
-    # integer-valued sigmas*10 keep the reference's float window arithmetic
-    # aligned with dense masking (fractional tmp_size windows are asymmetric
-    # in the reference; the benchmark's sigma-export mode feeds variances)
+    # integer-valued sigmas*10: the symmetric-window baseline
     sigmas = rng.integers(1, 4, 14).astype(np.float64) / 10.0
     want_t, want_p = ref_utils.generateTarget(joints, 14, 64, 256,
                                               sigmas=list(sigmas))
@@ -98,6 +96,38 @@ def test_generate_target_per_joint_sigmas_matches_reference(ref_utils):
                                    sigmas=jnp.asarray(sigmas))
     np.testing.assert_allclose(np.asarray(got_t), want_t, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got_p), want_p)
+
+
+def test_generate_target_fractional_sigmas_matches_reference(ref_utils):
+    """Fractional 3σ (σ·10 = 2.5 -> tmp_size = 7.5): the reference's paste
+    window is asymmetric (dx ∈ [-8,+7]), uses trunc-based ul/br bounds, and
+    shifts the Gaussian center off mu near the left edge (ul<0 trunc≠floor).
+    All of it must match bit-for-bit, including near-edge keep/skip calls."""
+    import jax.numpy as jnp
+
+    from hupr_tpu.ops.heatmap import generate_target
+
+    rng = np.random.default_rng(4)
+    for trial in range(6):
+        # mix fractional and integer 3σ per joint
+        sigmas = rng.choice([0.15, 0.25, 0.2, 0.35], size=14)
+        joints = rng.uniform(0, 256, (14, 2))
+        # force the edge cases the window arithmetic is sensitive to:
+        # right-edge keep (ref keeps mu up to W-1+3σ), left-edge shift,
+        # off-image negatives, far-outside skip
+        joints[0] = [71 * 4, 120]      # mu_x=71 on a 64-wide map: kept
+        joints[1] = [12, 12]           # ul<0: trunc center shift
+        joints[2] = [-6, 128]          # negative mu
+        joints[3] = [287.9, 128]       # mu_x=72: boundary of the keep rule
+        joints[4] = [400, 400]         # fully outside: skipped
+        want_t, want_p = ref_utils.generateTarget(joints, 14, 64, 256,
+                                                  sigmas=list(sigmas))
+        got_t, got_p = generate_target(jnp.asarray(joints), 14, 64, 256,
+                                       sigmas=jnp.asarray(sigmas))
+        np.testing.assert_allclose(np.asarray(got_t), want_t, atol=1e-6,
+                                   err_msg=f"trial {trial}")
+        np.testing.assert_allclose(np.asarray(got_p), want_p,
+                                   err_msg=f"trial {trial}")
 
 
 def test_get_max_preds_matches_reference(ref_metrics):
