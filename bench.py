@@ -23,9 +23,13 @@ other BASELINE configs:
     device-resident steady state incl. the single packed (K,3) result fetch
   loader_samples_per_sec — host-side BatchLoader assembly rate over real
     .npy files (cold cache), SETUP.numWorkers threads
+  seq_eval_frames_per_sec — full eval-path rate (reference config #3) in
+    sequence mode (engine/seq_eval.py): real .npy reads + host->device
+    per-frame planes + device windowing/forward/loss/decode + result fetch
 
 Env knobs: BENCH_FRAMES, BENCH_REPS, BENCH_REF_FRAMES, BENCH_ATTN,
-BENCH_TRAIN=0, BENCH_STREAM=0, BENCH_INGEST=0, BENCH_LOADER=0 to skip parts.
+BENCH_TRAIN=0, BENCH_STREAM=0, BENCH_INGEST=0, BENCH_LOADER=0,
+BENCH_SEQEVAL=0 to skip parts.
 """
 
 import json
@@ -204,7 +208,43 @@ def main():
     if os.environ.get("BENCH_LOADER", "1") != "0":
         result["loader_samples_per_sec"] = round(_bench_loader(), 2)
 
+    # ---- sequence-mode eval: the full benchmark-eval path over real files
+    if os.environ.get("BENCH_SEQEVAL", "1") != "0":
+        result["seq_eval_frames_per_sec"] = round(
+            _bench_seq_eval(model, variables), 2)
+
     print(json.dumps(result))
+
+
+def _write_synthetic_dataset(root: str, duration: int):
+    """One sequence of full-size cubes + annotations under `root`."""
+    from hupr_tpu.config import config_from_dict
+
+    rng = np.random.default_rng(0)
+    annots = []
+    for view in ("hori", "vert"):
+        os.makedirs(os.path.join(root, "single_1", view), exist_ok=True)
+    blocks = []
+    for f in range(duration):
+        cube = (rng.standard_normal((16, 64, 64, 8))
+                + 1j * rng.standard_normal((16, 64, 64, 8))
+                ).astype(np.complex64)
+        for view in ("hori", "vert"):
+            np.save(os.path.join(root, f"single_1/{view}/{f:09d}.npy"),
+                    cube)
+        joints = rng.uniform(40, 210, (14, 2)).tolist()
+        xs = [j[0] for j in joints]
+        ys = [j[1] for j in joints]
+        blocks.append({"image": "%09d.jpg" % f, "joints": joints,
+                       "bbox": [min(xs), min(ys), max(xs), max(ys)]})
+    annots.append(blocks)
+    for phase in ("train", "val", "test"):
+        with open(os.path.join(root, f"hrnet_annot_{phase}.json"),
+                  "w") as fp:
+            json.dump(annots, fp)
+    return config_from_dict({"DATASET": {
+        "duration": duration, "dataDir": root,
+        "trainName": [1], "valName": [1], "testName": [1]}})
 
 
 def _bench_loader(duration: int = 24, batch: int = 8, workers: int = 4):
@@ -214,43 +254,52 @@ def _bench_loader(duration: int = 24, batch: int = 8, workers: int = 4):
     import shutil
     import tempfile
 
-    from hupr_tpu.config import config_from_dict
     from hupr_tpu.data import BatchLoader, get_dataset
 
     root = tempfile.mkdtemp(prefix="hupr_bench_loader_")
     try:
-        rng = np.random.default_rng(0)
-        annots = []
-        for view in ("hori", "vert"):
-            os.makedirs(os.path.join(root, "single_1", view), exist_ok=True)
-        blocks = []
-        for f in range(duration):
-            cube = (rng.standard_normal((16, 64, 64, 8))
-                    + 1j * rng.standard_normal((16, 64, 64, 8))
-                    ).astype(np.complex64)
-            for view in ("hori", "vert"):
-                np.save(os.path.join(root, f"single_1/{view}/{f:09d}.npy"),
-                        cube)
-            joints = rng.uniform(40, 210, (14, 2)).tolist()
-            xs = [j[0] for j in joints]
-            ys = [j[1] for j in joints]
-            blocks.append({"image": "%09d.jpg" % f, "joints": joints,
-                           "bbox": [min(xs), min(ys), max(xs), max(ys)]})
-        annots.append(blocks)
-        for phase in ("train", "val", "test"):
-            with open(os.path.join(root, f"hrnet_annot_{phase}.json"),
-                      "w") as fp:
-                json.dump(annots, fp)
-
-        cfg = config_from_dict({"DATASET": {
-            "duration": duration, "dataDir": root,
-            "trainName": [1], "valName": [1], "testName": [1]}})
+        cfg = _write_synthetic_dataset(root, duration)
         ds = get_dataset("val", cfg, 1)
         loader = BatchLoader(ds, batch, shuffle=False, workers=workers)
         n = 0
         t0 = time.perf_counter()
         for b in loader:
             n += len(b["imageId"])
+        return n / (time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _bench_seq_eval(model, variables, duration: int = 64):
+    """End-to-end eval-path throughput in sequence mode: host .npy reads ->
+    per-frame plane transfer -> device windowing + forward + loss + decode ->
+    per-batch result consumption. The classic per-window path is bounded by
+    loader_samples_per_sec; this is the shipped default (TEST.sequenceEval)."""
+    import shutil
+    import tempfile
+
+    from hupr_tpu.data import get_dataset
+    from hupr_tpu.engine.seq_eval import SequenceEvaluator
+
+    root = tempfile.mkdtemp(prefix="hupr_bench_seqeval_")
+    try:
+        cfg = _write_synthetic_dataset(root, duration)
+        # small frame cache: the timed pass re-reads from disk like a real
+        # (larger-than-RAM-cache) eval epoch would
+        ds = get_dataset("val", cfg, 1, cache_items=4)
+        ev = SequenceEvaluator(model, cfg)
+
+        def one_pass():
+            n = 0
+            for out, ids, bbox, true_b in ev.eval_batches(ds, variables):
+                np.asarray(out["pred2d"])  # consume like Runner.eval
+                float(out["loss"])
+                n += true_b
+            return n
+
+        one_pass()                       # compile both programs
+        t0 = time.perf_counter()
+        n = one_pass()
         return n / (time.perf_counter() - t0)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -76,6 +76,11 @@ class TrainingConfig:
 class TestConfig:
     batchSize: int = 32
     plotImgDir: str = ""
+    # device-side window assembly for eval (engine/seq_eval.py): ships each
+    # frame once instead of a G-frame window per sample. Exact-equal results
+    # (tests/test_seq_eval.py); auto-falls back to the classic loader when
+    # inapplicable (sampling_ratio != 1, lossDecay != -1, ragged sequences).
+    sequenceEval: bool = True
 
 
 @dataclass

@@ -76,6 +76,7 @@ class Runner:
                                           cfg.TRAINING.lossDecay, geometry)
         self.eval_step = make_eval_step(self.model, cfg.TRAINING.lossDecay,
                                         geometry)
+        self._seq_eval = None   # built lazily on first sequence-mode eval
 
         if not args.eval:
             self.train_set = get_dataset("train", cfg, args.sampling_ratio)
@@ -199,17 +200,34 @@ class Runner:
 
     # ---------------- eval (run.py:35-63) ----------------
 
+    def _classic_eval_batches(self):
+        """Per-window host assembly through the BatchLoader (the reference's
+        DataLoader shape): yields (out, image_ids, bbox, true_b)."""
+        for device_batch, batch, true_b in device_prefetch(
+                self.test_loader, self.mesh,
+                pad_to=self.cfg.TEST.batchSize):
+            self.advance_alpha()
+            out = self.eval_step(self.state, device_batch, self.alpha)
+            yield out, batch["imageId"][:true_b], batch["bbox"][:true_b], true_b
+
+    def _eval_batches(self):
+        """Sequence mode (device-side windowing, engine/seq_eval.py) when the
+        split supports it and TEST.sequenceEval is on; classic otherwise."""
+        from hupr_tpu.engine.seq_eval import SequenceEvaluator
+        if getattr(self.cfg.TEST, "sequenceEval", True) and \
+                SequenceEvaluator.applicable(self.test_set, self.cfg):
+            if self._seq_eval is None:
+                self._seq_eval = SequenceEvaluator(self.model, self.cfg)
+            variables = {"params": self.state.params,
+                         "batch_stats": self.state.batch_stats}
+            return self._seq_eval.eval_batches(self.test_set, variables)
+        return self._classic_eval_batches()
+
     def eval(self, visualization: bool = True, epoch: int = -1) -> float:
         loss_list = []
         save_preds: list = []
         self.logger.clear(len(self.test_set))
-        for device_batch, batch, true_b in device_prefetch(
-                self.test_loader, self.mesh,
-                pad_to=self.cfg.TEST.batchSize):
-            image_ids = batch["imageId"]
-            bbox = batch["bbox"]
-            self.advance_alpha()
-            out = self.eval_step(self.state, device_batch, self.alpha)
+        for out, image_ids, bbox, true_b in self._eval_batches():
             pred2d = np.asarray(out["pred2d"])[:true_b]
             loss = float(out["loss"])
             self.logger.display(loss, float(out["loss2"]), true_b, epoch)

@@ -1,0 +1,206 @@
+"""Sequence-mode evaluation: device-side window assembly for the eval loop.
+
+The classic eval path (reference tools/run.py:35-63 via DataLoader) makes the
+host assemble a (G, C, 2, R, A, E) window per sample — 33.6 MB of memcpy and
+host->device traffic per frame, G-1/G of it redundant because adjacent eval
+windows share G-1 of G frames (datasets/dataset.py:126-138). On a TPU host
+the device finishes a window in ~2 ms while the host spends ~170 ms building
+it: eval is loader-bound.
+
+Sequence mode ships each frame ONCE as raw per-frame chirp planes (4 MB) and
+moves everything else on device, reusing the serving pipeline's dedup
+(engine/pipeline.py): normalize + MNet chirp encoding run per frame, the
+sliding window stacks encoded (R, A, F) maps via static slices, and pose
+decoding + loss run per TEST.batchSize window batch. Outputs are the same
+eval_step dict, batch for batch, so the Runner's logging/keypoint-export/
+visualization logic is unchanged — and results are equal to the classic path
+(tests/test_seq_eval.py pins it).
+
+Applicability (falls back to the classic loader otherwise):
+  * sampling_ratio == 1 (every frame, in order — the benchmark eval setting)
+  * lossDecay == -1 (annealing advances per computeLoss call; batch count
+    differs between the two paths when sequences don't divide the batch)
+  * every sequence in the split has exactly DATASET.duration frames (or the
+    split is a single shorter sequence) so the per-sequence window clamp
+    matches the global window_indices table.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from functools import partial
+from typing import Iterator, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hupr_tpu.ops.heatmap import bce_loss, generate_target_batch, get_max_preds
+from hupr_tpu.ops.normalize import normalize_radar_window
+
+
+def sequence_groups(image_ids: List[int]) -> List[Tuple[int, int]]:
+    """Split the dataset's image_id list (frame + seq*100000, annot.py) into
+    contiguous per-sequence (start, length) runs, preserving order."""
+    groups = []
+    start = 0
+    for i in range(1, len(image_ids) + 1):
+        if i == len(image_ids) or image_ids[i] // 100000 != \
+                image_ids[start] // 100000:
+            groups.append((start, i - start))
+            start = i
+    return groups
+
+
+def make_sequence_encoder(model, group: int):
+    """Jitted (variables, hre, him, vre, vim, pad_to) -> (ra_pad, re_pad).
+
+    Inputs are per-frame chirp planes (F, C, R, A, E) f32 per component/view
+    (the dataset's cached frame format). Outputs are chirp-encoded maps
+    (pad_to + G - 1, R, A, Fc) per view, replicate-padded for window slicing:
+    padded[j] == maps[clamp(j - G//2, 0, F-1)], and frames beyond F replicate
+    the last frame so a final partial window batch stays shape-static (those
+    windows are masked out of the loss and dropped on the host)."""
+    half = group // 2
+
+    @partial(jax.jit, static_argnames=("pad_to",))
+    def encode(variables, hre, him, vre, vim, pad_to: int):
+        def prep(re, im):
+            x = jnp.stack([re, im], axis=2)          # (F, C, 2, R, A, E)
+            x = normalize_radar_window(x)
+            return x[:, None]                        # (F, 1, C, 2, R, A, E)
+
+        ra, re_m = model.apply(variables, prep(hre, him), prep(vre, vim),
+                               method="chirp_maps")
+        ra, re_m = ra[:, 0], re_m[:, 0]              # (F, R, A, Fc)
+
+        def pad(maps):
+            f = maps.shape[0]
+            tail = pad_to - f + (group - half - 1)
+            parts = [maps[:1]] * half + [maps] + [maps[-1:]] * tail
+            return jnp.concatenate(parts, axis=0)    # (pad_to + G - 1, ...)
+
+        return pad(ra), pad(re_m)
+
+    return encode
+
+
+def make_window_eval_step(model, group: int, geometry=(14, 64, 256),
+                          batch_size: int = 32):
+    """Jitted (variables, ra_pad, re_pad, joints, mask, start) -> the
+    eval_step output dict for the `batch_size` consecutive windows beginning
+    at frame `start` (steps.make_eval_step parity, lossDecay == -1)."""
+    num_keypoints, heatmap_size, img_size = geometry
+
+    @jax.jit
+    def step(variables, ra_pad, re_pad, joints, mask, start):
+        def windows(maps_pad):
+            raw = jax.lax.dynamic_slice_in_dim(
+                maps_pad, start, batch_size + group - 1, axis=0)
+            # window b = padded frames [b, b+G): same slice-stack as
+            # pipeline.window_stack, batched from a dynamic offset
+            return jnp.stack([raw[j:j + batch_size] for j in range(group)],
+                             axis=1)                 # (B, G, R, A, Fc)
+
+        heatmap, gcn = model.apply(variables, windows(ra_pad),
+                                   windows(re_pad), method="pose_from_maps")
+        targets, _ = generate_target_batch(
+            joints, num_keypoints=num_keypoints, heatmap_size=heatmap_size,
+            img_size=img_size)
+        k, h = targets.shape[1], targets.shape[2]
+        main = heatmap.reshape(-1, k, h, h)
+        refined = gcn.reshape(-1, k, h, h)
+        loss1 = bce_loss(main, targets, mask)
+        loss2 = bce_loss(refined, targets, mask)
+        pred2d, maxvals = get_max_preds(refined)
+        gt_dec, _ = get_max_preds(targets)
+        return {"loss": loss1 + loss2, "loss1": loss1, "loss2": loss2,
+                "pred2d": pred2d, "gt2d": gt_dec, "maxvals": maxvals,
+                "predHeatmap": refined}
+
+    return step
+
+
+class SequenceEvaluator:
+    """Drives eval over per-sequence frame planes with device windowing.
+
+    eval_batches(dataset, variables) yields (out, image_ids, bbox, true_b)
+    tuples equivalent to the classic device_prefetch + eval_step loop."""
+
+    def __init__(self, model, cfg):
+        d = cfg.DATASET
+        self.group = d.numGroupFrames
+        self.duration = d.duration
+        self.batch_size = cfg.TEST.batchSize
+        self.geometry = (d.numKeypoints, d.heatmapSize, d.imgSize)
+        self._encode = make_sequence_encoder(model, self.group)
+        self._step = make_window_eval_step(model, self.group, self.geometry,
+                                           self.batch_size)
+
+    @staticmethod
+    def applicable(dataset, cfg) -> bool:
+        if dataset.sampling_ratio != 1:
+            return False
+        if cfg.TRAINING.lossDecay != -1:
+            return False
+        groups = sequence_groups(dataset.image_ids)
+        if len(groups) == 1:
+            return groups[0][1] <= dataset.duration
+        return all(n == dataset.duration for _, n in groups)
+
+    def _load_planes(self, dataset, start: int, length: int):
+        """Host side: per-frame (C, R, A, E) planes for one sequence, stacked
+        (the only host copies in the whole path: 4 MB/frame vs the loader's
+        33.6 MB/window)."""
+        idx = range(start, start + length)
+        out = []
+        for paths in (dataset.paths_hori, dataset.paths_vert):
+            frames = dataset._frames([paths[i] for i in idx])
+            out.append(np.stack([f[0] for f in frames]))
+            out.append(np.stack([f[1] for f in frames]))
+        return out                                   # [hre, him, vre, vim]
+
+    def eval_batches(self, dataset, variables) -> Iterator[tuple]:
+        groups = sequence_groups(dataset.image_ids)
+
+        # one-sequence lookahead: load sequence s+1 while the device chews s
+        def producer(q):
+            try:
+                for start, length in groups:
+                    q.put((start, length,
+                           self._load_planes(dataset, start, length)))
+            except BaseException as exc:    # propagate to the consumer
+                q.put(exc)
+            finally:
+                q.put(None)
+
+        q: queue.Queue = queue.Queue(maxsize=1)
+        threading.Thread(target=producer, args=(q,), daemon=True).start()
+
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            start, length, planes = item
+            n_batches = -(-length // self.batch_size)
+            pad_to = n_batches * self.batch_size
+            ra_pad, re_pad = self._encode(variables, *map(jnp.asarray, planes),
+                                          pad_to=pad_to)
+            for b in range(n_batches):
+                s = b * self.batch_size
+                true_b = min(self.batch_size, length - s)
+                joints = np.zeros((self.batch_size,) + dataset.joints.shape[1:],
+                                  dtype=np.float32)
+                joints[:true_b] = dataset.joints[start + s:start + s + true_b]
+                mask = np.zeros((self.batch_size,), np.float32)
+                mask[:true_b] = 1.0
+                out = self._step(variables, ra_pad, re_pad,
+                                 jnp.asarray(joints), jnp.asarray(mask),
+                                 jnp.asarray(s, jnp.int32))
+                image_ids = np.asarray(
+                    dataset.image_ids[start + s:start + s + true_b])
+                bbox = dataset.bboxes[start + s:start + s + true_b]
+                yield out, image_ids, bbox, true_b

@@ -1,0 +1,122 @@
+"""Sequence-mode eval (device-side window assembly, engine/seq_eval.py) must
+produce the same results as the classic per-window loader path — batch for
+batch on the losses/predictions and end-to-end on the exported keypoints."""
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pytest
+
+from test_e2e import make_tiny_dataset, tiny_cfg
+
+
+def _runner(cfg, dir_name):
+    from hupr_tpu.engine import Runner
+    args = argparse.Namespace(seed=0, dir=dir_name, visDir="none",
+                              eval=True, sampling_ratio=1, keypoints=False)
+    return Runner(args, cfg)
+
+
+def test_sequence_eval_matches_classic(tmp_path):
+    data_dir = str(tmp_path / "data")
+    make_tiny_dataset(data_dir, [1], duration=8)
+    cfg = tiny_cfg(data_dir)   # TEST.batchSize=2: 4 batches over 8 frames
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        run = _runner(cfg, "seqeval")
+        assert cfg.TEST.sequenceEval   # default on
+
+        from hupr_tpu.engine.seq_eval import SequenceEvaluator
+        assert SequenceEvaluator.applicable(run.test_set, cfg)
+
+        classic = [(np.asarray(o["pred2d"])[:t], float(o["loss"]),
+                    float(o["loss2"]), np.asarray(ids), np.asarray(bb))
+                   for o, ids, bb, t in run._classic_eval_batches()]
+        seq_ev = SequenceEvaluator(run.model, cfg)
+        variables = {"params": run.state.params,
+                     "batch_stats": run.state.batch_stats}
+        seq = [(np.asarray(o["pred2d"])[:t], float(o["loss"]),
+                float(o["loss2"]), np.asarray(ids), np.asarray(bb))
+               for o, ids, bb, t in
+               seq_ev.eval_batches(run.test_set, variables)]
+
+        assert len(classic) == len(seq) == 4
+        for (cp, cl, cl2, cids, cbb), (sp, sl, sl2, sids, sbb) in \
+                zip(classic, seq):
+            np.testing.assert_array_equal(cids, sids)
+            np.testing.assert_array_equal(cbb, sbb)
+            # same math, different program shapes: heatmaps drift ~1e-5 from
+            # f32 reassociation, so an argmax may flip between near-tied bins
+            same = np.mean(sp == cp)
+            assert same >= 0.95, f"only {same:.2%} of coords match"
+            np.testing.assert_allclose(sl, cl, rtol=2e-5)
+            np.testing.assert_allclose(sl2, cl2, rtol=2e-5)
+    finally:
+        os.chdir(cwd)
+
+
+def test_sequence_eval_end_to_end_results_json(tmp_path):
+    """Full Runner.eval in both modes writes equivalent keypoint JSONs and
+    the same AP."""
+    data_dir = str(tmp_path / "data")
+    make_tiny_dataset(data_dir, [1], duration=8)
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        cfg = tiny_cfg(data_dir)
+        ap_seq = _runner(cfg, "m_seq").eval(visualization=False)
+        with open("logs/m_seq/test_results.json") as fp:
+            seq_preds = json.load(fp)
+
+        cfg2 = tiny_cfg(data_dir)
+        cfg2.TEST.sequenceEval = False
+        ap_classic = _runner(cfg2, "m_cls").eval(visualization=False)
+        with open("logs/m_cls/test_results.json") as fp:
+            cls_preds = json.load(fp)
+
+        np.testing.assert_allclose(ap_seq, ap_classic, atol=1e-6)
+        assert len(seq_preds) == len(cls_preds) == 8
+        n_same, n_total = 0, 0
+        for s, c in zip(seq_preds, cls_preds):
+            assert s["image_id"] == c["image_id"]
+            np.testing.assert_allclose(s["center"], c["center"])
+            np.testing.assert_allclose(s["scale"], c["scale"])
+            sk, ck = np.asarray(s["keypoints"]), np.asarray(c["keypoints"])
+            n_same += int((sk == ck).sum())
+            n_total += sk.size
+        # near-tied argmax bins may flip under f32 reassociation
+        assert n_same / n_total >= 0.95
+    finally:
+        os.chdir(cwd)
+
+
+def test_sequence_eval_applicability_guards(tmp_path):
+    data_dir = str(tmp_path / "data")
+    make_tiny_dataset(data_dir, [1], duration=8)
+    cfg = tiny_cfg(data_dir)
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        from hupr_tpu.data import get_dataset
+        from hupr_tpu.engine.seq_eval import SequenceEvaluator, \
+            sequence_groups
+
+        ds = get_dataset("test", cfg, 1)
+        assert SequenceEvaluator.applicable(ds, cfg)
+        assert sequence_groups(ds.image_ids) == [(0, 8)]
+
+        # sampling-ratio subsampling skips frames: classic path only
+        ds2 = get_dataset("test", cfg, 2)
+        assert not SequenceEvaluator.applicable(ds2, cfg)
+
+        # annealing advances per computeLoss call: batch cadence must match
+        cfg.TRAINING.lossDecay = 0.1
+        assert not SequenceEvaluator.applicable(ds, cfg)
+    finally:
+        os.chdir(cwd)
