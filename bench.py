@@ -284,12 +284,13 @@ def _bench_seq_eval(model, variables, duration: int = 64):
     root = tempfile.mkdtemp(prefix="hupr_bench_seqeval_")
     try:
         cfg = _write_synthetic_dataset(root, duration)
-        # small frame cache: the timed pass re-reads from disk like a real
-        # (larger-than-RAM-cache) eval epoch would
-        ds = get_dataset("val", cfg, 1, cache_items=4)
         ev = SequenceEvaluator(model, cfg)
 
         def one_pass():
+            # fresh dataset: the timed pass re-reads from disk (cold frame
+            # cache) like a real eval epoch; a cache smaller than the
+            # sequence would instead thrash and double-load every frame
+            ds = get_dataset("val", cfg, 1)
             n = 0
             for out, ids, bbox, true_b in ev.eval_batches(ds, variables):
                 np.asarray(out["pred2d"])  # consume like Runner.eval

@@ -23,12 +23,25 @@ from hupr_tpu.ops.heatmap import get_max_preds
 from hupr_tpu.ops.normalize import normalize_radar_window
 
 
+def replicate_pad(x: jnp.ndarray, group: int, pad_to: int = None
+                  ) -> jnp.ndarray:
+    """(F, ...) -> (pad_to + G - 1, ...) edge-replicated so that
+    padded[j] == x[clamp(j - G//2, 0, F-1)] — the boundary-clamp table
+    (data.window_indices) as pure padding. pad_to defaults to F; larger
+    values extend the right edge (for shape-static partial window batches)."""
+    f = x.shape[0]
+    if pad_to is None:
+        pad_to = f
+    half = group // 2
+    tail = pad_to - f + (group - half - 1)
+    parts = [x[:1]] * half + [x] + [x[-1:]] * tail
+    return jnp.concatenate(parts, axis=0)
+
+
 def window_stack(x: jnp.ndarray, group: int) -> jnp.ndarray:
     """(F, ...) per-frame values -> (F, G, ...) replicate-clamped windows,
     equivalent to indexing with data.window_indices for a single sequence."""
-    half = group // 2
-    pad = [x[:1]] * half + [x] + [x[-1:]] * (group - half - 1)
-    xp = jnp.concatenate(pad, axis=0)
+    xp = replicate_pad(x, group)
     f = x.shape[0]
     return jnp.stack([xp[j:j + f] for j in range(group)], axis=1)
 

@@ -217,7 +217,8 @@ class Runner:
         if getattr(self.cfg.TEST, "sequenceEval", True) and \
                 SequenceEvaluator.applicable(self.test_set, self.cfg):
             if self._seq_eval is None:
-                self._seq_eval = SequenceEvaluator(self.model, self.cfg)
+                self._seq_eval = SequenceEvaluator(self.model, self.cfg,
+                                                   mesh=self.mesh)
             variables = {"params": self.state.params,
                          "batch_stats": self.state.batch_stats}
             return self._seq_eval.eval_batches(self.test_set, variables)

@@ -20,16 +20,20 @@ Applicability (falls back to the classic loader otherwise):
   * sampling_ratio == 1 (every frame, in order — the benchmark eval setting)
   * lossDecay == -1 (annealing advances per computeLoss call; batch count
     differs between the two paths when sequences don't divide the batch)
-  * every sequence in the split has exactly DATASET.duration frames (or the
-    split is a single shorter sequence) so the per-sequence window clamp
-    matches the global window_indices table.
+  * every sequence in the split has exactly DATASET.duration frames: the
+    reference's clamp (`index % duration`) only defines in-range windows in
+    that case (a shorter sequence makes the global window_indices table
+    point past the end of the data — the classic path crashes there too).
+
+With a multi-device mesh, the encode program shards the frame axis and the
+pose program shards the window-batch axis (params replicated, encoded maps
+replicated between the two) whenever the axis divides the device count.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from functools import partial
 from typing import Iterator, List, Tuple
 
 import jax
@@ -53,18 +57,21 @@ def sequence_groups(image_ids: List[int]) -> List[Tuple[int, int]]:
     return groups
 
 
-def make_sequence_encoder(model, group: int):
+def make_sequence_encoder(model, group: int, mesh=None):
     """Jitted (variables, hre, him, vre, vim, pad_to) -> (ra_pad, re_pad).
 
     Inputs are per-frame chirp planes (F, C, R, A, E) f32 per component/view
     (the dataset's cached frame format). Outputs are chirp-encoded maps
-    (pad_to + G - 1, R, A, Fc) per view, replicate-padded for window slicing:
-    padded[j] == maps[clamp(j - G//2, 0, F-1)], and frames beyond F replicate
-    the last frame so a final partial window batch stays shape-static (those
-    windows are masked out of the loss and dropped on the host)."""
-    half = group // 2
+    (pad_to + G - 1, R, A, Fc) per view, replicate-padded for window slicing
+    (pipeline.replicate_pad): frames beyond F replicate the last frame so a
+    final partial window batch stays shape-static (those windows are masked
+    out of the loss and dropped on the host).
 
-    @partial(jax.jit, static_argnames=("pad_to",))
+    With `mesh`, the per-frame encode is sharded over the frame axis (the
+    caller guarantees F divides the device count); outputs are replicated
+    for the pose program's dynamic window slicing."""
+    from hupr_tpu.engine.pipeline import replicate_pad
+
     def encode(variables, hre, him, vre, vim, pad_to: int):
         def prep(re, im):
             x = jnp.stack([re, im], axis=2)          # (F, C, 2, R, A, E)
@@ -74,26 +81,30 @@ def make_sequence_encoder(model, group: int):
         ra, re_m = model.apply(variables, prep(hre, him), prep(vre, vim),
                                method="chirp_maps")
         ra, re_m = ra[:, 0], re_m[:, 0]              # (F, R, A, Fc)
+        return (replicate_pad(ra, group, pad_to),
+                replicate_pad(re_m, group, pad_to))
 
-        def pad(maps):
-            f = maps.shape[0]
-            tail = pad_to - f + (group - half - 1)
-            parts = [maps[:1]] * half + [maps] + [maps[-1:]] * tail
-            return jnp.concatenate(parts, axis=0)    # (pad_to + G - 1, ...)
-
-        return pad(ra), pad(re_m)
-
-    return encode
+    if mesh is not None:
+        from hupr_tpu.parallel.mesh import batch_sharding, replicated
+        shard, rep = batch_sharding(mesh), replicated(mesh)
+        # pad_to must be positional: pjit rejects kwargs with in_shardings
+        return jax.jit(encode, static_argnums=(5,),
+                       in_shardings=(rep,) + (shard,) * 4,
+                       out_shardings=(rep, rep))
+    return jax.jit(encode, static_argnums=(5,))
 
 
 def make_window_eval_step(model, group: int, geometry=(14, 64, 256),
-                          batch_size: int = 32):
+                          batch_size: int = 32, mesh=None):
     """Jitted (variables, ra_pad, re_pad, joints, mask, start) -> the
     eval_step output dict for the `batch_size` consecutive windows beginning
-    at frame `start` (steps.make_eval_step parity, lossDecay == -1)."""
+    at frame `start` (steps.make_eval_step parity, lossDecay == -1).
+
+    With `mesh`, the window-batch axis is sharded across devices (the caller
+    guarantees batch_size divides the device count); the padded maps stay
+    replicated so every shard slices its own windows locally."""
     num_keypoints, heatmap_size, img_size = geometry
 
-    @jax.jit
     def step(variables, ra_pad, re_pad, joints, mask, start):
         def windows(maps_pad):
             raw = jax.lax.dynamic_slice_in_dim(
@@ -119,7 +130,14 @@ def make_window_eval_step(model, group: int, geometry=(14, 64, 256),
                 "pred2d": pred2d, "gt2d": gt_dec, "maxvals": maxvals,
                 "predHeatmap": refined}
 
-    return step
+    if mesh is not None:
+        from hupr_tpu.parallel.mesh import batch_sharding, replicated
+        shard, rep = batch_sharding(mesh), replicated(mesh)
+        out_sh = {"loss": rep, "loss1": rep, "loss2": rep, "pred2d": shard,
+                  "gt2d": shard, "maxvals": shard, "predHeatmap": shard}
+        return jax.jit(step, in_shardings=(rep, rep, rep, shard, shard, rep),
+                       out_shardings=out_sh)
+    return jax.jit(step)
 
 
 class SequenceEvaluator:
@@ -128,15 +146,20 @@ class SequenceEvaluator:
     eval_batches(dataset, variables) yields (out, image_ids, bbox, true_b)
     tuples equivalent to the classic device_prefetch + eval_step loop."""
 
-    def __init__(self, model, cfg):
+    def __init__(self, model, cfg, mesh=None):
         d = cfg.DATASET
         self.group = d.numGroupFrames
         self.duration = d.duration
         self.batch_size = cfg.TEST.batchSize
         self.geometry = (d.numKeypoints, d.heatmapSize, d.imgSize)
-        self._encode = make_sequence_encoder(model, self.group)
+        # shard only when the axes divide the mesh (the common 600/32-on-8
+        # case does); otherwise run single-program — still correct
+        ndev = mesh.size if mesh is not None else 1
+        enc_mesh = mesh if ndev > 1 and self.duration % ndev == 0 else None
+        step_mesh = mesh if ndev > 1 and self.batch_size % ndev == 0 else None
+        self._encode = make_sequence_encoder(model, self.group, enc_mesh)
         self._step = make_window_eval_step(model, self.group, self.geometry,
-                                           self.batch_size)
+                                           self.batch_size, step_mesh)
 
     @staticmethod
     def applicable(dataset, cfg) -> bool:
@@ -144,9 +167,10 @@ class SequenceEvaluator:
             return False
         if cfg.TRAINING.lossDecay != -1:
             return False
+        # the reference clamp (index % duration) only defines in-range
+        # windows for full-duration sequences; shorter ones send the global
+        # window table past the end of the data in BOTH paths
         groups = sequence_groups(dataset.image_ids)
-        if len(groups) == 1:
-            return groups[0][1] <= dataset.duration
         return all(n == dataset.duration for _, n in groups)
 
     def _load_planes(self, dataset, start: int, length: int):
@@ -163,44 +187,61 @@ class SequenceEvaluator:
 
     def eval_batches(self, dataset, variables) -> Iterator[tuple]:
         groups = sequence_groups(dataset.image_ids)
+        stop = threading.Event()
 
-        # one-sequence lookahead: load sequence s+1 while the device chews s
+        # one-sequence lookahead: load sequence s+1 while the device chews s.
+        # Puts are stop-aware so an abandoned generator releases the thread
+        # (and its ~2.4 GB of planes) instead of pinning them forever.
+        def put(q, item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer(q):
             try:
                 for start, length in groups:
-                    q.put((start, length,
-                           self._load_planes(dataset, start, length)))
+                    if not put(q, (start, length,
+                                   self._load_planes(dataset, start, length))):
+                        return
             except BaseException as exc:    # propagate to the consumer
-                q.put(exc)
+                put(q, exc)
             finally:
-                q.put(None)
+                put(q, None)
 
         q: queue.Queue = queue.Queue(maxsize=1)
         threading.Thread(target=producer, args=(q,), daemon=True).start()
 
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            start, length, planes = item
-            n_batches = -(-length // self.batch_size)
-            pad_to = n_batches * self.batch_size
-            ra_pad, re_pad = self._encode(variables, *map(jnp.asarray, planes),
-                                          pad_to=pad_to)
-            for b in range(n_batches):
-                s = b * self.batch_size
-                true_b = min(self.batch_size, length - s)
-                joints = np.zeros((self.batch_size,) + dataset.joints.shape[1:],
-                                  dtype=np.float32)
-                joints[:true_b] = dataset.joints[start + s:start + s + true_b]
-                mask = np.zeros((self.batch_size,), np.float32)
-                mask[:true_b] = 1.0
-                out = self._step(variables, ra_pad, re_pad,
-                                 jnp.asarray(joints), jnp.asarray(mask),
-                                 jnp.asarray(s, jnp.int32))
-                image_ids = np.asarray(
-                    dataset.image_ids[start + s:start + s + true_b])
-                bbox = dataset.bboxes[start + s:start + s + true_b]
-                yield out, image_ids, bbox, true_b
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                start, length, planes = item
+                n_batches = -(-length // self.batch_size)
+                pad_to = n_batches * self.batch_size
+                ra_pad, re_pad = self._encode(variables, *planes, pad_to)
+                for b in range(n_batches):
+                    s = b * self.batch_size
+                    true_b = min(self.batch_size, length - s)
+                    joints = np.zeros(
+                        (self.batch_size,) + dataset.joints.shape[1:],
+                        dtype=np.float32)
+                    joints[:true_b] = \
+                        dataset.joints[start + s:start + s + true_b]
+                    mask = np.zeros((self.batch_size,), np.float32)
+                    mask[:true_b] = 1.0
+                    out = self._step(variables, ra_pad, re_pad,
+                                     jnp.asarray(joints), jnp.asarray(mask),
+                                     jnp.asarray(s, jnp.int32))
+                    image_ids = np.asarray(
+                        dataset.image_ids[start + s:start + s + true_b])
+                    bbox = dataset.bboxes[start + s:start + s + true_b]
+                    yield out, image_ids, bbox, true_b
+        finally:
+            stop.set()      # consumer finished or bailed: release producer
