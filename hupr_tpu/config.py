@@ -77,9 +77,12 @@ class TestConfig:
     batchSize: int = 32
     plotImgDir: str = ""
     # device-side window assembly for eval (engine/seq_eval.py): ships each
-    # frame once instead of a G-frame window per sample. Exact-equal results
-    # (tests/test_seq_eval.py); auto-falls back to the classic loader when
-    # inapplicable (sampling_ratio != 1, lossDecay != -1, ragged sequences).
+    # frame once instead of a G-frame window per sample. Same math as the
+    # classic loader path; results equal up to f32 reassociation between the
+    # two program shapes (near-tied argmax bins can flip — pinned
+    # batch-for-batch by tests/test_seq_eval.py). Auto-falls back to the
+    # classic loader when inapplicable (sampling_ratio != 1, lossDecay != -1,
+    # ragged sequences).
     sequenceEval: bool = True
 
 

@@ -173,30 +173,31 @@ class HuPRDataset:
         """Fetch frames through the LRU cache; cache misses are batch-loaded
         by the threaded C++ loader when available.
 
-        Misses fill under a single-flight lock: concurrent BatchLoader pool
-        workers share G-1 of G window frames, and without it each would
-        redundantly re-load the same files (the bulk load is itself
-        IO-parallel via the native loader's thread pool)."""
-        with self._load_lock:
-            missing = [p for p in dict.fromkeys(paths)
-                       if not self._cache.has(p)]
-            if missing and self.use_native:
-                from hupr_tpu.data.native_loader import load_frames
-                loaded = load_frames(missing, self._chirp_start,
-                                     self.num_frames, self._inner_shape,
-                                     self._num_io_threads)
-                if loaded is not None:
-                    re, im = loaded
-                    for i, p in enumerate(missing):
-                        # copy: caching views of the bulk array would keep
-                        # the whole base alive past eviction, defeating the
-                        # cache's byte bound
-                        self._cache.put(p, (re[i].copy(), im[i].copy()))
-                    missing = []
-                else:
-                    self.use_native = False  # fall back permanently
-            for p in missing:
-                self._cache.put(p, self._load_frame_numpy(p))
+        Native bulk loads run under a single-flight lock: concurrent
+        BatchLoader pool workers share G-1 of G window frames, and without
+        it each would redundantly re-bulk-load the same files (the bulk load
+        is itself IO-parallel via the native loader's thread pool). The
+        NumPy fallback stays OUTSIDE the lock — serializing it would undo
+        the pool's IO parallelism; at worst two workers briefly load the
+        same frame, which the cache absorbs."""
+        if self.use_native:
+            with self._load_lock:
+                missing = [p for p in dict.fromkeys(paths)
+                           if not self._cache.has(p)]
+                if missing:
+                    from hupr_tpu.data.native_loader import load_frames
+                    loaded = load_frames(missing, self._chirp_start,
+                                         self.num_frames, self._inner_shape,
+                                         self._num_io_threads)
+                    if loaded is not None:
+                        re, im = loaded
+                        for i, p in enumerate(missing):
+                            # copy: caching views of the bulk array would
+                            # keep the whole base alive past eviction,
+                            # defeating the cache's byte bound
+                            self._cache.put(p, (re[i].copy(), im[i].copy()))
+                    else:
+                        self.use_native = False  # fall back permanently
         return [self._cache.get(p, lambda p=p: self._load_frame_numpy(p))
                 for p in paths]
 
@@ -353,21 +354,15 @@ class BatchLoader:
             yield self._assemble(idx)
 
     def __iter__(self) -> Iterator[dict]:
+        from hupr_tpu.utils.prefetch import stop_aware_put
+
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         done = object()
         failure: list = []
         stop = threading.Event()
 
         def put(item) -> bool:
-            # bounded put that aborts when the consumer goes away, so an
-            # abandoned iterator doesn't pin a thread + prefetched batches
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
+            return stop_aware_put(q, item, stop)
 
         def worker():
             try:

@@ -186,6 +186,8 @@ class SequenceEvaluator:
         return out                                   # [hre, him, vre, vim]
 
     def eval_batches(self, dataset, variables) -> Iterator[tuple]:
+        from hupr_tpu.utils.prefetch import stop_aware_put
+
         groups = sequence_groups(dataset.image_ids)
         stop = threading.Event()
 
@@ -193,13 +195,7 @@ class SequenceEvaluator:
         # Puts are stop-aware so an abandoned generator releases the thread
         # (and its ~2.4 GB of planes) instead of pinning them forever.
         def put(q, item) -> bool:
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
+            return stop_aware_put(q, item, stop)
 
         def producer(q):
             try:
