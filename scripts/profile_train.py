@@ -81,7 +81,9 @@ def main():
     per_op = defaultdict(float)
     total = 0.0
     for plane in pd.planes:
-        if "TPU" not in plane.name or "#Chip" not in plane.name:
+        # plane naming varies by runtime version: 'TPU ... #Chip0' vs
+        # '/device:TPU:0'; take any TPU plane that actually carries lines
+        if "TPU" not in plane.name:
             continue
         for line in plane.lines:
             lname = line.name.lower()
