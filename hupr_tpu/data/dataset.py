@@ -290,16 +290,31 @@ class BatchLoader:
     `workers` > 1 assembles the samples of a batch with a thread pool
     (reference SETUP.numWorkers semantics, tools/run.py:21,28 — .npy reads
     and memcpy release the GIL, so threads overlap IO on a host feeding a
-    TPU)."""
+    TPU).
+
+    Multi-host (`process=(pid, nproc)`, `padded_rows=global padded batch`):
+    every process computes the SAME epoch permutation (seed- and epoch-keyed
+    rng, independent of the per-row sampling stream) and assembles only its
+    contiguous row slice of each padded global batch; batches then carry a
+    "trueRows" count for the global loss mask. Data loading is sharded per
+    host (SURVEY.md §2.10) — a host never touches another host's rows."""
 
     def __init__(self, dataset: HuPRDataset, batch_size: int,
                  shuffle: bool = False, seed: int = 0, prefetch: int = 2,
-                 drop_last: bool = False, workers: int = 1):
+                 drop_last: bool = False, workers: int = 1,
+                 process=None, padded_rows: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
+        self.process = process
+        if process is not None:
+            if padded_rows is None or padded_rows % process[1] != 0:
+                raise ValueError(
+                    "process mode needs padded_rows divisible by nproc")
+        self.padded_rows = padded_rows
         self.prefetch = prefetch
         self.workers = max(1, int(workers))
         self._pool = None
@@ -310,12 +325,8 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _assemble(self, idx) -> dict:
-        # sample_index consumes the rng stream (train-time sampling-ratio
-        # randomization) and must stay sequential/deterministic; only the
-        # heavy IO/memcpy work fans out to the pool
+    def _assemble(self, indices: List[int]) -> dict:
         ds = self.dataset
-        indices = [ds.sample_index(int(i), self.rng) for i in idx]
         b = len(indices)
         shape = (b, ds.num_group_frames, ds.num_frames, 2) + ds._inner_shape
         hori = np.empty(shape, np.float32)
@@ -344,14 +355,37 @@ class BatchLoader:
 
     def _batches(self) -> Iterator[dict]:
         n = len(self.dataset)
+        # the permutation rng is keyed by (seed, epoch) ONLY — every process
+        # of a multi-host run derives the identical order; the per-row
+        # sampling-ratio randomization gets its own stream (keyed also by
+        # the process) so consuming it cannot skew the next epoch's order
+        pid = self.process[0] if self.process else 0
+        order_rng = np.random.default_rng((self.seed, self._epoch))
+        sample_rng = np.random.default_rng((self.seed, self._epoch, pid))
+        self._epoch += 1
         order = np.arange(n)
         if self.shuffle:
-            self.rng.shuffle(order)
+            order_rng.shuffle(order)
         for start in range(0, n, self.batch_size):
             idx = order[start:start + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
                 return
-            yield self._assemble(idx)
+            true_b = len(idx)
+            indices = [self.dataset.sample_index(int(i), sample_rng)
+                       for i in idx]
+            if self.process is None:
+                yield self._assemble(indices)
+                continue
+            # multi-host: pad to the global row count by repeating the last
+            # resolved sample (mesh.shard_batch's padding, done per host),
+            # then assemble only this process's contiguous slice
+            pid_, nproc = self.process
+            padded = indices + [indices[-1]] * (self.padded_rows - true_b)
+            rows = self.padded_rows // nproc
+            local = padded[pid_ * rows:(pid_ + 1) * rows]
+            batch = self._assemble(local)
+            batch["trueRows"] = true_b
+            yield batch
 
     def __iter__(self) -> Iterator[dict]:
         from hupr_tpu.utils.prefetch import stop_aware_put

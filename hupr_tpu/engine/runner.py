@@ -78,11 +78,21 @@ class Runner:
                                         geometry)
         self._seq_eval = None   # built lazily on first sequence-mode eval
 
+        # multi-host (HUPR_MULTIHOST=1): data loading sharded per host —
+        # every process assembles only its slice of each padded global batch
+        self.n_proc = jax.process_count()
+        self.pid = jax.process_index()
+        ndev = self.mesh.devices.size
+        t = cfg.TRAINING
+        mh = dict(process=(self.pid, self.n_proc),
+                  padded_rows=t.batchSize + (-t.batchSize) % ndev) \
+            if self.n_proc > 1 else {}
+
         if not args.eval:
             self.train_set = get_dataset("train", cfg, args.sampling_ratio)
             self.train_loader = BatchLoader(
                 self.train_set, cfg.TRAINING.batchSize, shuffle=True,
-                seed=args.seed, workers=cfg.SETUP.numWorkers)
+                seed=args.seed, workers=cfg.SETUP.numWorkers, **mh)
         else:
             self.train_set, self.train_loader = None, None
         self.test_set = get_dataset("test" if args.eval else "val", cfg,
@@ -148,7 +158,11 @@ class Runner:
     def save_model_weight(self, epoch: int, acc: float):
         """Same retention policy as tools/base.py:75-90 (best / latest /
         every-5), but ONE host fetch per epoch written to all retention
-        files, on a background thread (training continues immediately)."""
+        files, on a background thread (training continues immediately).
+        Multi-host: params are replicated, so only process 0 writes."""
+        if self.n_proc > 1 and self.pid != 0:
+            self.logger.is_best_acc_ap(acc)   # keep best-AP tracking synced
+            return
         paths = []
         if self.logger.is_best_acc_ap(acc):
             print("==========>Save the best model...")
@@ -161,6 +175,8 @@ class Runner:
                                self.logger.show_best_ap())
 
     def save_loss_list(self, epoch: int, loss_list, mode: str):
+        if self.n_proc > 1 and self.pid != 0:
+            return
         path = os.path.join(self.dir, f"{mode}_loss_list_{epoch}.json")
         with open(path, "w") as fp:
             json.dump(loss_list, fp)
@@ -212,10 +228,33 @@ class Runner:
 
     def _eval_batches(self):
         """Sequence mode (device-side windowing, engine/seq_eval.py) when the
-        split supports it and TEST.sequenceEval is on; classic otherwise."""
-        from hupr_tpu.engine.seq_eval import SequenceEvaluator
-        if getattr(self.cfg.TEST, "sequenceEval", True) and \
-                SequenceEvaluator.applicable(self.test_set, self.cfg):
+        split supports it and TEST.sequenceEval is on; classic otherwise.
+
+        Multi-host: evaluation is embarrassingly parallel — each process
+        runs sequence mode over its round-robin share of the sequences on
+        its LOCAL devices (no DCN traffic); eval() merges the rank results."""
+        from hupr_tpu.engine.seq_eval import (SequenceEvaluator,
+                                              sequence_groups)
+        applicable = getattr(self.cfg.TEST, "sequenceEval", True) and \
+            SequenceEvaluator.applicable(self.test_set, self.cfg)
+        if self.n_proc > 1:
+            if not applicable:
+                raise RuntimeError(
+                    "multi-host eval needs sequence mode (TEST.sequenceEval "
+                    "on, sampling_ratio 1, lossDecay -1, full-duration "
+                    "sequences)")
+            if self._seq_eval is None:
+                local = jax.local_devices()
+                local_mesh = make_mesh(local) if len(local) > 1 else None
+                self._seq_eval = SequenceEvaluator(self.model, self.cfg,
+                                                   mesh=local_mesh)
+            variables = {"params": jax.device_get(self.state.params),
+                         "batch_stats": jax.device_get(
+                             self.state.batch_stats)}
+            groups = sequence_groups(self.test_set.image_ids)
+            return self._seq_eval.eval_batches(
+                self.test_set, variables, groups[self.pid::self.n_proc])
+        if applicable:
             if self._seq_eval is None:
                 self._seq_eval = SequenceEvaluator(self.model, self.cfg,
                                                    mesh=self.mesh)
@@ -238,6 +277,26 @@ class Runner:
                 plot_human_pose(preds_img, self.cfg, self.vis_dir, image_ids)
             self.save_keypoints(save_preds, preds_img, bbox, image_ids)
             loss_list.append(loss)
+        if self.n_proc > 1:
+            # every process scored its own sequence share: write a rank
+            # file, let process 0 merge + run the OKS evaluator, and agree
+            # on the AP everywhere (best-model tracking must not diverge)
+            from hupr_tpu.parallel import multihost
+            phase = self.test_set.phase
+            with open(multihost.rank_result_path(self.dir, phase),
+                      "w") as fp:
+                json.dump(save_preds, fp)
+            multihost.barrier("hupr_eval_results")
+            acc_ap = 0.0
+            if self.pid == 0:
+                name = "test_results.json" if self.args.eval \
+                    else "val_results.json"
+                multihost.merge_rank_results(
+                    self.dir, phase, os.path.join(self.dir, name))
+                if self.args.keypoints:
+                    self.test_set.evaluate_each(self.dir)
+                acc_ap = self.test_set.evaluate(self.dir)
+            return multihost.broadcast_scalar(acc_ap)
         self.write_keypoints(save_preds)
         if self.args.keypoints:
             self.test_set.evaluate_each(self.dir)

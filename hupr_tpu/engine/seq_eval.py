@@ -152,14 +152,20 @@ class SequenceEvaluator:
         self.duration = d.duration
         self.batch_size = cfg.TEST.batchSize
         self.geometry = (d.numKeypoints, d.heatmapSize, d.imgSize)
-        # shard only when the axes divide the mesh (the common 600/32-on-8
-        # case does); otherwise run single-program — still correct
+        # shard only when BOTH axes divide the mesh (the flagship 600/32-on-8
+        # case does) — all-or-nothing so the encode outputs and pose inputs
+        # agree on placement; otherwise run single-program, still correct
         ndev = mesh.size if mesh is not None else 1
-        enc_mesh = mesh if ndev > 1 and self.duration % ndev == 0 else None
-        step_mesh = mesh if ndev > 1 and self.batch_size % ndev == 0 else None
-        self._encode = make_sequence_encoder(model, self.group, enc_mesh)
+        if ndev > 1 and self.duration % ndev == 0 \
+                and self.batch_size % ndev == 0:
+            from hupr_tpu.parallel.mesh import batch_sharding, replicated
+            self._shard, self._rep = batch_sharding(mesh), replicated(mesh)
+        else:
+            mesh = None
+            self._shard = self._rep = None
+        self._encode = make_sequence_encoder(model, self.group, mesh)
         self._step = make_window_eval_step(model, self.group, self.geometry,
-                                           self.batch_size, step_mesh)
+                                           self.batch_size, mesh)
 
     @staticmethod
     def applicable(dataset, cfg) -> bool:
@@ -185,10 +191,15 @@ class SequenceEvaluator:
             out.append(np.stack([f[1] for f in frames]))
         return out                                   # [hre, him, vre, vim]
 
-    def eval_batches(self, dataset, variables) -> Iterator[tuple]:
+    def eval_batches(self, dataset, variables,
+                     groups=None) -> Iterator[tuple]:
+        """`groups`: optional subset of sequence_groups(dataset.image_ids)
+        (start, length) runs to evaluate — multi-host eval hands each
+        process its own share."""
         from hupr_tpu.utils.prefetch import stop_aware_put
 
-        groups = sequence_groups(dataset.image_ids)
+        if groups is None:
+            groups = sequence_groups(dataset.image_ids)
         stop = threading.Event()
 
         # one-sequence lookahead: load sequence s+1 while the device chews s.
@@ -221,6 +232,12 @@ class SequenceEvaluator:
                 start, length, planes = item
                 n_batches = -(-length // self.batch_size)
                 pad_to = n_batches * self.batch_size
+                if self._shard is not None:
+                    # meshed programs need explicitly placed inputs (jit
+                    # refuses to auto-shard numpy under multi-process
+                    # runtimes; pre-placement is also the faster path)
+                    planes = [jax.device_put(p, self._shard) for p in planes]
+                    variables = jax.device_put(variables, self._rep)
                 ra_pad, re_pad = self._encode(variables, *planes, pad_to)
                 for b in range(n_batches):
                     s = b * self.batch_size
@@ -232,9 +249,15 @@ class SequenceEvaluator:
                         dataset.joints[start + s:start + s + true_b]
                     mask = np.zeros((self.batch_size,), np.float32)
                     mask[:true_b] = 1.0
+                    if self._shard is not None:
+                        joints = jax.device_put(joints, self._shard)
+                        mask = jax.device_put(mask, self._shard)
+                        s_dev = jax.device_put(np.int32(s), self._rep)
+                    else:
+                        joints, mask = jnp.asarray(joints), jnp.asarray(mask)
+                        s_dev = jnp.asarray(s, jnp.int32)
                     out = self._step(variables, ra_pad, re_pad,
-                                     jnp.asarray(joints), jnp.asarray(mask),
-                                     jnp.asarray(s, jnp.int32))
+                                     joints, mask, s_dev)
                     image_ids = np.asarray(
                         dataset.image_ids[start + s:start + s + true_b])
                     bbox = dataset.bboxes[start + s:start + s + true_b]

@@ -68,6 +68,11 @@ def shard_batch(batch: dict, mesh: Mesh,
 
 
 def replicate_state(state, mesh: Mesh):
+    if jax.process_count() > 1:
+        # device_put can't address other hosts' devices; every process holds
+        # the same values (same-seed init or a shared checkpoint)
+        from hupr_tpu.parallel.multihost import replicate_tree
+        return replicate_tree(state, mesh)
     return jax.device_put(state, replicated(mesh))
 
 
@@ -78,10 +83,23 @@ def device_prefetch(batch_iter, mesh: Mesh, keys=("hori", "vert",
     the step for batch i runs (JAX dispatch is async, so yielding immediately
     after device_put overlaps transfer with compute).
 
+    Batches carrying a "trueRows" count come from a process-sliced
+    BatchLoader (multi-host): each leaf holds only this process's rows of
+    the padded global batch and is assembled into a global jax.Array.
+
     Yields (device_batch, host_batch, true_batch_size)."""
+    def stage(batch):
+        if "trueRows" in batch:
+            from hupr_tpu.parallel.multihost import global_shard_batch
+            padded = next(iter(
+                batch[k] for k in keys)).shape[0] * jax.process_count()
+            return global_shard_batch({k: batch[k] for k in keys}, mesh,
+                                      padded, batch["trueRows"])
+        return shard_batch({k: batch[k] for k in keys}, mesh, pad_to)
+
     pending = None
     for batch in batch_iter:
-        nxt = (shard_batch({k: batch[k] for k in keys}, mesh, pad_to), batch)
+        nxt = (stage(batch), batch)
         if pending is not None:
             (dev, true_b), host = pending
             yield dev, host, true_b

@@ -162,6 +162,34 @@ def test_batch_loader_parallel_assembly_matches_serial(tmp_path):
                 np.testing.assert_array_equal(a[k], b[k])
 
 
+def test_batch_loader_process_slices_reassemble_global_batch(tmp_path):
+    """Multi-host mode: the per-process loaders' row slices, concatenated,
+    must equal the single-process batch padded to the global row count —
+    same epoch permutation on every process, padding rows repeating the
+    last sample, trueRows carried for the global mask."""
+    from hupr_tpu.data import BatchLoader, get_dataset
+
+    data_dir = str(tmp_path / "data")
+    make_tiny_dataset(data_dir, [1])
+    cfg = tiny_cfg(data_dir)
+    ds = get_dataset("val", cfg, 1)
+
+    padded = 4   # global batch 3 padded to 4 rows over 2 "processes"
+    whole = list(BatchLoader(ds, 3, shuffle=True, seed=5))
+    parts = [list(BatchLoader(ds, 3, shuffle=True, seed=5,
+                              process=(p, 2), padded_rows=padded))
+             for p in range(2)]
+    assert len(whole) == len(parts[0]) == len(parts[1]) == 3
+    for k, full in enumerate(whole):
+        true_b = len(full["imageId"])
+        assert parts[0][k]["trueRows"] == parts[1][k]["trueRows"] == true_b
+        for key in ("hori", "vert", "jointsGroup", "imageId"):
+            glob = np.concatenate([parts[0][k][key], parts[1][k][key]])
+            want = np.concatenate(
+                [full[key]] + [full[key][-1:]] * (padded - true_b))
+            np.testing.assert_array_equal(glob, want)
+
+
 def test_batch_loader_abandoned_iterator_releases_producer(tmp_path):
     """Breaking out of iteration early must unblock and finish the prefetch
     thread instead of leaving it pinned on a full queue forever."""

@@ -20,6 +20,61 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
+def test_two_process_runner_train_eval(tmp_path):
+    """Full Runner under 2-process jax.distributed: host-sharded batch
+    loading, one train epoch, distributed sequence eval (each host scores
+    its own sequences, process 0 merges rank files and broadcasts the AP),
+    checkpointing on process 0 only."""
+    import json
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_e2e import make_tiny_dataset
+
+    make_tiny_dataset(str(tmp_path / "data"), [1, 2])
+
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multihost_runner_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(worker))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(port), str(pid), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=840)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multihost runner workers timed out")
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    bests = []
+    for out in outs:
+        m = re.search(r"MHRUNNER_OK pid=\d best=([-0-9.]+)", out)
+        assert m, f"no OK line in:\n{out[-4000:]}"
+        bests.append(float(m.group(1)))
+    assert bests[0] == bests[1]  # AP broadcast keeps tracking in sync
+
+    log_dir = tmp_path / "logs" / "mh"
+    assert (log_dir / "checkpoint.ckpt").exists()
+    assert (log_dir / "model_best.ckpt").exists()
+    with open(log_dir / "val_results.json") as fp:
+        blocks = json.load(fp)
+    # both sequences present, merged in image_id order, no rank files left
+    assert len(blocks) == 16
+    ids = [b["image_id"] for b in blocks]
+    assert ids == sorted(ids)
+    assert len({b["image_id"] // 100000 for b in blocks}) == 2
+    assert not list(log_dir.glob("*rank*"))
+
+
+@pytest.mark.slow
 def test_two_process_distributed_train_step():
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
