@@ -88,6 +88,11 @@ def generate_gt_annotations(cfg, phase: str, verbose: bool = False) -> str:
             print(f"Generate GTs for single_{seq_id} for {phase} stage")
 
     out = os.path.join(data_dir, f"{phase}_gt.json")
-    with open(out, "w") as fp:
+    # atomic replace: concurrent writers (multi-host processes sharing the
+    # data dir produce byte-identical content) and concurrent readers never
+    # see a truncated file
+    tmp = f"{out}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fp:
         json.dump(annot, fp)
+    os.replace(tmp, out)
     return out

@@ -84,9 +84,14 @@ class Runner:
         self.pid = jax.process_index()
         ndev = self.mesh.devices.size
         t = cfg.TRAINING
-        mh = dict(process=(self.pid, self.n_proc),
-                  padded_rows=t.batchSize + (-t.batchSize) % ndev) \
-            if self.n_proc > 1 else {}
+        mh = {}
+        if self.n_proc > 1:
+            mh = dict(process=(self.pid, self.n_proc),
+                      padded_rows=t.batchSize + (-t.batchSize) % ndev)
+            from hupr_tpu.parallel import multihost
+            # the rank-file eval merge + process-0 checkpointing need a
+            # filesystem all processes share — fail now, not after epoch 0
+            multihost.assert_shared_dir(self.dir)
 
         if not args.eval:
             self.train_set = get_dataset("train", cfg, args.sampling_ratio)
@@ -100,6 +105,16 @@ class Runner:
         self.test_loader = BatchLoader(self.test_set, cfg.TEST.batchSize,
                                        shuffle=False, seed=args.seed,
                                        workers=cfg.SETUP.numWorkers)
+        if self.n_proc > 1:
+            # eval under multi-host requires sequence mode: fail at startup,
+            # not after a full epoch of pod time
+            from hupr_tpu.engine.seq_eval import SequenceEvaluator
+            if not (getattr(cfg.TEST, "sequenceEval", True)
+                    and SequenceEvaluator.applicable(self.test_set, cfg)):
+                raise RuntimeError(
+                    "multi-host eval needs sequence mode (TEST.sequenceEval "
+                    "on, sampling_ratio 1, lossDecay -1, full-duration "
+                    "sequences)")
 
         # warmup LR back-computation (run.py:30-32); eval mode has no train
         # loader and never steps the optimizer, so plain lr suffices there
@@ -139,6 +154,20 @@ class Runner:
 
     def load_model_weight(self, mode: str):
         path = find_checkpoint(self.dir, mode)
+        if self.n_proc > 1:
+            # every process must make the same resume decision: a host that
+            # can't see the checkpoint would silently keep fresh-init params
+            # inside a "replicated" global array and run a different number
+            # of epochs of collectives (hang/corruption)
+            from hupr_tpu.parallel import multihost
+            found0 = multihost.broadcast_scalar(0.0 if path is None else 1.0)
+            if bool(found0) != (path is not None):
+                raise RuntimeError(
+                    f"checkpoint visibility differs across hosts: process 0 "
+                    f"{'found' if found0 else 'did not find'} a '{mode}' "
+                    f"checkpoint but process {self.pid} "
+                    f"{'did not' if path is None else 'did'} — the logs dir "
+                    f"must be a shared filesystem")
         if path is None:
             print("==========>Train the model from scratch")
             return
@@ -153,6 +182,15 @@ class Runner:
                 self.logger.update_best_acc(acc)
             print(f"==========>Load the model weight from {self.dir}, "
                   f"saved at epoch {epoch}")
+        if self.n_proc > 1:
+            # same file, same content everywhere — a stale copy on one host
+            # would desynchronize start_epoch (collective-schedule mismatch)
+            from hupr_tpu.parallel import multihost
+            epoch0 = multihost.broadcast_scalar(float(epoch))
+            if int(epoch0) != int(epoch):
+                raise RuntimeError(
+                    f"checkpoint epoch differs across hosts: process 0 read "
+                    f"epoch {int(epoch0)}, process {self.pid} read {epoch}")
         self.state = replicate_state(self.state, self.mesh)
 
     def save_model_weight(self, epoch: int, acc: float):
@@ -289,10 +327,11 @@ class Runner:
             multihost.barrier("hupr_eval_results")
             acc_ap = 0.0
             if self.pid == 0:
-                name = "test_results.json" if self.args.eval \
-                    else "val_results.json"
+                # the evaluator reads f"{phase}_results.json" (dataset.py
+                # evaluate) — derive the merge target from the same phase
                 multihost.merge_rank_results(
-                    self.dir, phase, os.path.join(self.dir, name))
+                    self.dir, phase,
+                    os.path.join(self.dir, f"{phase}_results.json"))
                 if self.args.keypoints:
                     self.test_set.evaluate_each(self.dir)
                 acc_ap = self.test_set.evaluate(self.dir)

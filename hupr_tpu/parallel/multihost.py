@@ -12,6 +12,11 @@ sequence-mode eval (engine/seq_eval.py) over its round-robin share of the
 sequences on its LOCAL devices (no cross-host traffic), writes a rank file,
 and process 0 merges + scores; the AP is broadcast so every process agrees
 on best-model tracking.
+
+Requirement: the data dir and the ./logs output dir must live on a
+filesystem shared by all processes (rank-file merge, process-0-only
+checkpointing, resume). Runner verifies this at startup with
+assert_shared_dir.
 """
 
 from __future__ import annotations
@@ -33,8 +38,23 @@ def process_index() -> int:
     return jax.process_index()
 
 
-def is_coordinator() -> bool:
-    return process_index() == 0
+def assert_shared_dir(path: str) -> None:
+    """Fail fast if `path` is not on a filesystem every process can see —
+    the rank-file eval merge and process-0-only checkpointing require one.
+    Process 0 drops a probe file; everyone else must observe it."""
+    probe = os.path.join(path, ".hupr_shared_fs_probe")
+    if process_index() == 0:
+        os.makedirs(path, exist_ok=True)
+        with open(probe, "w") as fp:
+            fp.write("probe")
+    barrier("hupr_shared_fs_probe_written")
+    if not os.path.exists(probe):
+        raise RuntimeError(
+            f"multi-host runs need a shared output/data filesystem: process "
+            f"{process_index()} cannot see {probe} written by process 0")
+    barrier("hupr_shared_fs_probe_checked")
+    if process_index() == 0:
+        os.remove(probe)
 
 
 def local_row_range(padded_rows: int) -> tuple:
