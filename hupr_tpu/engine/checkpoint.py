@@ -15,7 +15,6 @@ The reference's resume path crashes on a never-defined args.pretrained
 from __future__ import annotations
 
 import os
-import pickle
 import threading
 from typing import Optional
 
@@ -29,9 +28,13 @@ def _to_host(tree):
 
 
 def _write_payload(path: str, payload: dict):
+    # msgpack (flax.serialization), not pickle: loading a .ckpt from an
+    # untrusted source must never execute code (same posture as the
+    # weights_only torch.load in models/torch_convert.py)
     tmp = path + ".tmp"
     with open(tmp, "wb") as fp:
-        pickle.dump(serialization.to_state_dict(payload), fp)
+        fp.write(serialization.msgpack_serialize(
+            serialization.to_state_dict(payload)))
     os.replace(tmp, path)
 
 
@@ -111,7 +114,7 @@ def load_checkpoint(path: str, state):
     """Restore a TrainState template from a saved checkpoint; returns
     (state, epoch, accuracy)."""
     with open(path, "rb") as fp:
-        payload = pickle.load(fp)
+        payload = serialization.msgpack_restore(fp.read())
     if not payload.get("opt_state"):
         # weights-only checkpoint (e.g. converted from a reference .pth):
         # keep the fresh optimizer state from the template

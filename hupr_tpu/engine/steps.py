@@ -52,7 +52,7 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
     raise ValueError(cfg.TRAINING.optimizer)
 
 
-def init_state(model, cfg, rng, example_batch=None, tx=None) -> TrainState:
+def init_state(model, cfg, rng, tx=None) -> TrainState:
     """tx: the optax chain whose update will consume this state; pass the
     same instance given to make_train_step (defaults to make_optimizer(cfg),
     correct as long as the caller doesn't customize the chain)."""

@@ -151,12 +151,28 @@ def main():
           f"accuracy {acc})")
 
 
+def _numpy_safe_globals() -> list:
+    """Real reference checkpoints store 'accuracy' as numpy.float64 (the
+    COCOeval stats[0] written by tools/base.py:84-90); the weights-only
+    unpickler rejects numpy scalars unless they are allowlisted."""
+    import numpy as np
+    core = getattr(np, "_core", None) or np.core
+    out = [core.multiarray.scalar, np.dtype]
+    dtypes = getattr(np, "dtypes", None)
+    if dtypes is not None:        # numpy >= 1.25 dtype classes
+        out.append(dtypes.Float64DType)
+    return out
+
+
 def convert_torch_checkpoint(path: str) -> dict:
     """Load a reference .pth and return {'variables', 'epoch', 'accuracy'}."""
     import torch
     # reference checkpoints are plain tensor/scalar dicts; weights_only=True
     # avoids executing arbitrary pickled code from untrusted .pth files
-    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    # (numpy scalar types explicitly allowlisted — real checkpoints carry a
+    # numpy.float64 accuracy)
+    with torch.serialization.safe_globals(_numpy_safe_globals()):
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
     sd = ckpt["model_state_dict"] if "model_state_dict" in ckpt else ckpt
     # strip DataParallel prefixes if present
     sd = { (k[7:] if k.startswith("module.") else k): v for k, v in sd.items() }

@@ -133,8 +133,10 @@ def radar_cube_single_frame(frame: jnp.ndarray,
 
     # elevation FFT only on azimuth rows 2..5 (where the vertical array lives);
     # rows outside keep their pre-FFT values — the reference loops only idx 2..5.
-    ele_fft = jnp.fft.fft(merged, axis=0)
-    merged = merged.at[:, 2:6].set(ele_fft[:, 2:6])
+    # The axis-0 FFT is independent per azimuth column, so computing it on the
+    # four kept rows alone is bit-identical at 1/16 the FFT work.
+    ele_fft = jnp.fft.fft(merged[:, 2:6], axis=0)
+    merged = merged.at[:, 2:6].set(ele_fft)
     # azimuth FFT over all rows, per elevation bin
     merged = jnp.fft.fft(merged, axis=1)                             # (8,64,C,R)
 

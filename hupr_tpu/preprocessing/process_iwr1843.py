@@ -85,9 +85,12 @@ class RadarPreprocessor:
         os.makedirs(os.path.join(out_dir, tag), exist_ok=True)
         for start in range(0, n_frames, self.batch_frames):
             stop = min(start + self.batch_frames, n_frames)
-            frames = np.stack([
-                adc[:, p.num_chirp * f: p.num_chirp * (f + 1), :]
-                for f in range(start, stop)])
+            # one reshape/transpose instead of a per-frame slice-and-stack
+            # loop (the same slicing ops/dsp.frames_from_adc expresses)
+            frames = np.transpose(
+                adc[:, p.num_chirp * start: p.num_chirp * stop]
+                .reshape(adc.shape[0], stop - start, p.num_chirp, -1),
+                (1, 0, 2, 3))
             cr, ci = self._cubes(frames.real.astype(np.float32),
                                  frames.imag.astype(np.float32))
             cubes = (cr + 1j * ci).astype(np.complex64)
@@ -100,7 +103,10 @@ class RadarPreprocessor:
                 zip(self.raw_dirs, self.out_dirs)):
             if sequences is not None and (idx + 1) not in sequences:
                 continue
-            if not os.path.exists(os.path.join(hori_dir, "adc_data.bin")):
+            # both captures must exist; a partial copy (hori without vert)
+            # skips the sequence instead of crashing the whole batch run
+            if not all(os.path.exists(os.path.join(d, "adc_data.bin"))
+                       for d in (hori_dir, vert_dir)):
                 continue
             self.process_capture(hori_dir, out_dir, "hori")
             self.process_capture(vert_dir, out_dir, "vert")

@@ -161,6 +161,25 @@ def test_converter_roundtrip_shapes():
     assert out.shape == (1, 14, 1, 64, 64)
 
 
+def test_converter_loads_numpy_scalar_accuracy(tmp_path):
+    """Real reference checkpoints store 'accuracy' as numpy.float64 (COCOeval
+    stats[0], tools/base.py:84-90); the weights-only torch.load must accept
+    it via the numpy safe-globals allowlist instead of raising
+    UnpicklingError."""
+    import numpy as np
+
+    from hupr_tpu.models.torch_convert import convert_torch_checkpoint
+
+    sd = _synthetic_reference_state_dict(f=2)
+    path = str(tmp_path / "model_best.pth")
+    torch.save({"model_state_dict": sd, "epoch": 7,
+                "accuracy": np.float64(0.431)}, path)
+    ckpt = convert_torch_checkpoint(path)
+    assert ckpt["epoch"] == 7
+    assert abs(float(ckpt["accuracy"]) - 0.431) < 1e-12
+    assert "params" in ckpt["variables"]
+
+
 def _synthetic_reference_state_dict(f=32):
     """Emit the reference HuPRNet state_dict key surface (SURVEY.md §2.8-2.12)
     with correctly-shaped random tensors."""
