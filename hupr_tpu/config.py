@@ -130,7 +130,8 @@ def config_from_dict(d: dict) -> Config:
 
 def load_config(path: str) -> Config:
     with open(path, "r") as f:
-        return config_from_dict(yaml.safe_load(f))
+        # empty / comments-only YAML parses to None -> all-defaults Config
+        return config_from_dict(yaml.safe_load(f) or {})
 
 
 def build_arg_parser() -> argparse.ArgumentParser:

@@ -26,13 +26,23 @@ _tried = False
 
 
 def _build() -> bool:
+    """Compile to a process-unique temp file and atomically rename into
+    place: concurrent builders (multi-host runs share this directory on the
+    shared filesystem) never interleave writes into the .so another process
+    is dlopen-ing."""
     os.makedirs(_BUILD_DIR, exist_ok=True)
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-o", _LIB_PATH, _SRC, "-lpthread"]
+           "-o", tmp, _SRC, "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _LIB_PATH)
         return True
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -46,24 +56,29 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if not os.path.exists(_LIB_PATH) or (
                 os.path.exists(_SRC)
                 and os.path.getmtime(_SRC) > os.path.getmtime(_LIB_PATH)):
-            if not _build() and not os.path.exists(_LIB_PATH):
+            if not _build():
+                # never fall back to an out-of-date binary: a stale .so with
+                # older parsing/slicing logic (or missing symbols) silently
+                # diverging from the current source is worse than the NumPy
+                # path the caller handles anyway
                 return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
-        except OSError:
+            lib.hupr_load_frames.restype = ctypes.c_int
+            lib.hupr_load_frames.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_long,
+                ctypes.c_long, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int,
+            ]
+            lib.hupr_probe_npy.restype = ctypes.c_int
+            lib.hupr_probe_npy.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_long),
+                ctypes.POINTER(ctypes.c_int),
+            ]
+        except (OSError, AttributeError):
             return None
-        lib.hupr_load_frames.restype = ctypes.c_int
-        lib.hupr_load_frames.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_long,
-            ctypes.c_long, ctypes.c_long,
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int,
-        ]
-        lib.hupr_probe_npy.restype = ctypes.c_int
-        lib.hupr_probe_npy.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_long),
-            ctypes.POINTER(ctypes.c_int),
-        ]
         _lib = lib
         return _lib
 

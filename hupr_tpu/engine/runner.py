@@ -66,20 +66,13 @@ class Runner:
         self.start_epoch = 0
 
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.model = build_model(cfg)
-        self.tx = make_optimizer(cfg)
-        self.state = init_state(self.model, cfg, jax.random.PRNGKey(args.seed),
-                                tx=self.tx)
-        self.state = replicate_state(self.state, self.mesh)
-        geometry = (d.numKeypoints, d.heatmapSize, d.imgSize)
-        self.train_step = make_train_step(self.model, self.tx,
-                                          cfg.TRAINING.lossDecay, geometry)
-        self.eval_step = make_eval_step(self.model, cfg.TRAINING.lossDecay,
-                                        geometry)
-        self._seq_eval = None   # built lazily on first sequence-mode eval
 
         # multi-host (HUPR_MULTIHOST=1): data loading sharded per host —
-        # every process assembles only its slice of each padded global batch
+        # every process assembles only its slice of each padded global batch.
+        # This block runs BEFORE any jit compile: the checks fail fast, and
+        # the device-collective warm-up must happen while processes are
+        # still tightly synchronized (compile times skew across processes
+        # when one hits the persistent cache and another doesn't)
         self.n_proc = jax.process_count()
         self.pid = jax.process_index()
         ndev = self.mesh.devices.size
@@ -92,6 +85,19 @@ class Runner:
             # the rank-file eval merge + process-0 checkpointing need a
             # filesystem all processes share — fail now, not after epoch 0
             multihost.assert_shared_dir(self.dir)
+            multihost.warmup_device_collectives(self.mesh)
+
+        self.model = build_model(cfg)
+        self.tx = make_optimizer(cfg)
+        self.state = init_state(self.model, cfg, jax.random.PRNGKey(args.seed),
+                                tx=self.tx)
+        self.state = replicate_state(self.state, self.mesh)
+        geometry = (d.numKeypoints, d.heatmapSize, d.imgSize)
+        self.train_step = make_train_step(self.model, self.tx,
+                                          cfg.TRAINING.lossDecay, geometry)
+        self.eval_step = make_eval_step(self.model, cfg.TRAINING.lossDecay,
+                                        geometry)
+        self._seq_eval = None   # built lazily on first sequence-mode eval
 
         if not args.eval:
             self.train_set = get_dataset("train", cfg, args.sampling_ratio)

@@ -62,7 +62,11 @@ class TorchBatchNorm(nn.Module):
             if row_mask is None:
                 n = np.prod([x.shape[a] for a in axes])
                 mean = jnp.mean(xf, axis=axes)
-                var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+                # two-pass E[(x-mean)^2], torch's formulation: the one-pass
+                # E[x^2]-E[x]^2 catastrophically cancels for near-constant
+                # channels with large means (f32 error ~ mean^2 * 2^-24 can
+                # exceed the true variance AND -eps, NaN-ing the rsqrt)
+                var = jnp.mean(jnp.square(xf - mean), axis=axes)
                 bias_fix = n / max(n - 1, 1)
             else:
                 # batch rows padded by parallel.shard_batch (mask 0) must not
@@ -73,8 +77,7 @@ class TorchBatchNorm(nn.Module):
                 inner = np.prod(x.shape[1:-1]) if x.ndim > 2 else 1
                 n = jnp.sum(row_mask.astype(jnp.float32)) * inner
                 mean = jnp.sum(xf * w, axis=axes) / n
-                var = jnp.sum(jnp.square(xf) * w, axis=axes) / n \
-                    - jnp.square(mean)
+                var = jnp.sum(jnp.square(xf - mean) * w, axis=axes) / n
                 bias_fix = n / jnp.maximum(n - 1.0, 1.0)
             if not self.is_initializing():
                 unbiased = var * bias_fix

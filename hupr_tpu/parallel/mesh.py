@@ -91,8 +91,7 @@ def device_prefetch(batch_iter, mesh: Mesh, keys=("hori", "vert",
     def stage(batch):
         if "trueRows" in batch:
             from hupr_tpu.parallel.multihost import global_shard_batch
-            padded = next(iter(
-                batch[k] for k in keys)).shape[0] * jax.process_count()
+            padded = batch[keys[0]].shape[0] * jax.process_count()
             return global_shard_batch({k: batch[k] for k in keys}, mesh,
                                       padded, batch["trueRows"])
         return shard_batch({k: batch[k] for k in keys}, mesh, pad_to)

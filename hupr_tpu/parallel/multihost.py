@@ -47,14 +47,31 @@ def assert_shared_dir(path: str) -> None:
         os.makedirs(path, exist_ok=True)
         with open(probe, "w") as fp:
             fp.write("probe")
-    barrier("hupr_shared_fs_probe_written")
-    if not os.path.exists(probe):
-        raise RuntimeError(
-            f"multi-host runs need a shared output/data filesystem: process "
-            f"{process_index()} cannot see {probe} written by process 0")
-    barrier("hupr_shared_fs_probe_checked")
+    barrier("shared_fs_probe_written")
+    # exchange the verdict through the coordination-service KV store BEFORE
+    # anyone raises: a lone process raising between two barriers would leave
+    # the rest hanging at the next barrier instead of failing fast with this
+    # error — every process publishes what it saw, reads everyone else's,
+    # and they all raise (or pass) together
+    client = _coord_client()
+    visible = [os.path.exists(probe)]
+    if client is not None:
+        key = _next_id("hupr_kv/fs_probe")
+        client.key_value_set(f"{key}/{process_index()}",
+                             "1" if visible[0] else "0")
+        visible = [
+            client.blocking_key_value_get(f"{key}/{p}",
+                                          _SYNC_TIMEOUT_MS) == "1"
+            for p in range(process_count())]
     if process_index() == 0:
+        # everyone has looked (all verdicts were published before any read
+        # completes, and process 0 read them all)
         os.remove(probe)
+    if not all(visible):
+        bad = [i for i, v in enumerate(visible) if not v]
+        raise RuntimeError(
+            f"multi-host runs need a shared output/data filesystem: "
+            f"process(es) {bad} cannot see {probe} written by process 0")
 
 
 def local_row_range(padded_rows: int) -> tuple:
@@ -105,16 +122,74 @@ def replicate_tree(tree, mesh):
             rep, np.asarray(x)), tree)
 
 
+# Control-plane sync (barriers, verdicts, scalar broadcasts) rides the
+# jax.distributed coordination service, NOT device collectives: the first
+# device collective between two processes initializes its communicator
+# (Gloo on CPU, ICI/DCN on TPU) with a hard ~30 s rendezvous window, so any
+# sync point whose arrival skew can exceed it — e.g. right after
+# per-process jit compiles, where one process may hit the persistent
+# compile cache and the other not — would poison the whole program. The
+# coordination service tolerates _SYNC_TIMEOUT_MS of skew.
+_SYNC_TIMEOUT_MS = 600_000
+_seq: dict = {}
+
+
+def _coord_client():
+    """The coordination-service client (None outside jax.distributed)."""
+    from jax._src import distributed
+    return distributed.global_state.client
+
+
+def _next_id(tag: str) -> str:
+    """Barrier ids / KV keys are single-use on the coordination service;
+    suffix a per-tag sequence number. SPMD call order keeps it identical
+    across processes."""
+    n = _seq.get(tag, 0)
+    _seq[tag] = n + 1
+    return f"{tag}/{n}"
+
+
 def barrier(tag: str) -> None:
-    from jax.experimental import multihost_utils
-    multihost_utils.sync_global_devices(tag)
+    client = _coord_client()
+    if client is None:   # single-process / no coordination service
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(tag)
+        return
+    client.wait_at_barrier(_next_id(f"hupr_b/{tag}"), _SYNC_TIMEOUT_MS)
 
 
 def broadcast_scalar(value: float) -> float:
     """Process 0's value, on every process."""
-    from jax.experimental import multihost_utils
-    return float(multihost_utils.broadcast_one_to_all(
-        np.asarray(value, np.float32)))
+    client = _coord_client()
+    if client is None:
+        from jax.experimental import multihost_utils
+        return float(multihost_utils.broadcast_one_to_all(
+            np.asarray(value, np.float32)))
+    key = _next_id("hupr_kv/bcast")
+    if process_index() == 0:
+        client.key_value_set(key, repr(float(value)))
+    return float(client.blocking_key_value_get(key, _SYNC_TIMEOUT_MS))
+
+
+def warmup_device_collectives(mesh) -> None:
+    """Establish the cross-process device-collective communicator while
+    processes are tightly synchronized (right after the coordination
+    barrier), so its one-time ~30 s rendezvous never races per-process
+    compile skew; later collectives (train-step gradient psums) reuse it."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if process_count() == 1:
+        return
+    barrier("collective_warmup")
+    ndev = mesh.devices.size
+    nloc = ndev // process_count()
+    sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+    x = jax.make_array_from_process_local_data(
+        sharding, np.ones((nloc,), np.float32), global_shape=(ndev,))
+    s = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(x)
+    np.asarray(s.addressable_data(0))  # block until the all-reduce ran
 
 
 def rank_result_path(out_dir: str, phase: str, pid: Optional[int] = None

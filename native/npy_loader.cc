@@ -91,7 +91,11 @@ bool load_one(const char* path, long c0, long cn, long inner,
   if (!info.ok || info.ndim < 2) { fclose(f); return false; }
   long file_inner = 1;
   for (int i = 1; i < info.ndim; i++) file_inner *= info.shape[i];
-  if (file_inner != inner || c0 + cn > info.shape[0]) { fclose(f); return false; }
+  // c0 < 0 would fseek into the header and return its bytes as samples
+  if (file_inner != inner || c0 < 0 || cn < 0 || c0 + cn > info.shape[0]) {
+    fclose(f);
+    return false;
+  }
 
   long n = cn * inner;
   if (fseek(f, info.data_offset + c0 * inner * info.item_bytes, SEEK_SET)) {

@@ -37,6 +37,28 @@ def test_train_mode_output_and_running_stats_match_torch():
                                tbn.running_var.numpy(), atol=1e-5)
 
 
+def test_train_mode_near_constant_channel_stays_finite():
+    """The one-pass E[x^2]-E[x]^2 variance catastrophically cancels on a
+    near-constant channel with a large mean (reaches ~-0.5 here, NaN-ing the
+    rsqrt); the two-pass E[(x-mean)^2] formulation (torch's) must stay
+    finite on both the unmasked and masked branches."""
+    c = 2
+    x = np.full((8, 16, 16, c), 173.2187, np.float32)
+    x[..., 1] += np.random.default_rng(0).normal(
+        0, 1e-4, x[..., 1].shape).astype(np.float32)
+    bn = TorchBatchNorm(use_running_average=False)
+    variables = {
+        "params": {"scale": np.ones(c, np.float32),
+                   "bias": np.zeros(c, np.float32)},
+        "batch_stats": {"mean": np.zeros(c, np.float32),
+                        "var": np.ones(c, np.float32)},
+    }
+    for mask in (None, jnp.ones(8, jnp.float32).at[6:].set(0.0)):
+        got, _ = bn.apply(variables, jnp.asarray(x), mask,
+                          mutable=["batch_stats"])
+        assert np.isfinite(np.asarray(got)).all()
+
+
 def test_eval_mode_uses_running_stats():
     c = 3
     rng = np.random.default_rng(0)

@@ -110,6 +110,16 @@ def test_config_yaml_loads_reference_schema():
     assert cfg.DATASET.split_names("train") == cfg.DATASET.trainName
 
 
+def test_config_empty_yaml_yields_defaults(tmp_path):
+    """yaml.safe_load returns None for empty / comments-only files; loading
+    one must produce the all-defaults Config, not a TypeError."""
+    p = tmp_path / "empty.yaml"
+    p.write_text("# nothing here\n")
+    cfg = load_config(str(p))
+    assert cfg.DATASET.heatmapSize == 64
+    assert cfg.TRAINING.optimizer == "adam"
+
+
 def test_config_warns_on_unknown_keys():
     import warnings as _w
     from hupr_tpu.config import config_from_dict

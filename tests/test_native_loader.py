@@ -1,5 +1,7 @@
 """Native C++ .npy loader vs the NumPy path."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -55,6 +57,37 @@ def test_missing_file_returns_none(lib, tmp_path):
     out = load_frames(paths + [str(tmp_path / "nope.npy")], 4, 8,
                       (64, 64, 8))
     assert out is None
+
+
+def test_negative_chirp_start_returns_none(lib, tmp_path):
+    """c0 < 0 must fail loudly (return None -> NumPy fallback), not fseek
+    into the .npy header and return its bytes as radar samples."""
+    paths, _ = _write_frames(tmp_path, 1, np.complex64)
+    assert load_frames(paths, chirp_start=-4, chirp_count=8,
+                       inner_shape=(64, 64, 8)) is None
+
+
+def test_stale_library_not_loaded_when_rebuild_fails(tmp_path, monkeypatch):
+    """If the source is newer than the built .so and the rebuild fails,
+    get_lib must fall back to NumPy (None), never dlopen the out-of-date
+    binary (which may have older parsing logic or missing symbols)."""
+    import hupr_tpu.data.native_loader as nl
+    if not os.path.exists(nl._LIB_PATH):
+        pytest.skip("library was never built (no C++ toolchain)")
+    real_build = nl._build
+    monkeypatch.setattr(nl, "_lib", None)
+    monkeypatch.setattr(nl, "_tried", False)
+    # make the .so look stale and the compiler unavailable
+    stale = os.path.getmtime(nl._SRC) - 3600
+    os.utime(nl._LIB_PATH, (stale, stale))
+    monkeypatch.setattr(nl, "_build", lambda: False)
+    try:
+        assert nl.get_lib() is None
+    finally:
+        # leave module state usable for other tests: restore a fresh .so
+        nl._lib = None
+        nl._tried = False
+        real_build()
 
 
 def test_dataset_native_matches_numpy_path(tmp_path):
