@@ -64,10 +64,12 @@ def window_stack_sequences(x: jnp.ndarray, group: int,
     return out.reshape((f, group) + x.shape[1:])
 
 
-def cube_chirp_input(cubes_real, cubes_imag, num_chirps=16, num_frames=8):
-    """(F, 16, R, A, E) cube halves -> normalized per-frame model input
-    (F, 1, C, 2, R, A, E) (G=1: windowing happens after MNet)."""
-    c0 = num_chirps // 2 - num_frames // 2
+def cube_chirp_input(cubes_real, cubes_imag, num_frames=8):
+    """(F, numChirps, R, A, E) cube halves -> normalized per-frame model
+    input (F, 1, C, 2, R, A, E) (G=1: windowing happens after MNet).
+    `num_frames` is DATASET.numFrames — the central chirp window the
+    reference dataset slices (dataset.py:139-150)."""
+    c0 = cubes_real.shape[1] // 2 - num_frames // 2
     x = jnp.stack([cubes_real[:, c0:c0 + num_frames],
                    cubes_imag[:, c0:c0 + num_frames]], axis=2)
     x = normalize_radar_window(x)
@@ -75,7 +77,8 @@ def cube_chirp_input(cubes_real, cubes_imag, num_chirps=16, num_frames=8):
 
 
 def make_e2e_infer(model, variables, params: RadarParams = RadarParams(),
-                   duration: int = 600, group: int = 8, mesh=None):
+                   duration: int = 600, group: int = 8, mesh=None,
+                   num_frames: int = 8):
     """Returns jitted fn (hori_re, hori_im, vert_re, vert_im) -> (pred2d,
     maxvals) over a stack of F raw ADC frames per radar view, each
     (F, RX=4, 192, ADC=256) float32, all frames from one sequence.
@@ -102,8 +105,8 @@ def make_e2e_infer(model, variables, params: RadarParams = RadarParams(),
 
         hr, hi = cube(hori_re, hori_im)
         vr, vi = cube(vert_re, vert_im)
-        hori = cube_chirp_input(hr, hi)
-        vert = cube_chirp_input(vr, vi)
+        hori = cube_chirp_input(hr, hi, num_frames)
+        vert = cube_chirp_input(vr, vi, num_frames)
 
         # per-frame chirp encoding, then window the encoded maps (clamped
         # per duration-frame sequence, like the reference's index % duration)

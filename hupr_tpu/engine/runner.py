@@ -124,7 +124,6 @@ class Runner:
 
         # warmup LR back-computation (run.py:30-32); eval mode has no train
         # loader and never steps the optimizer, so plain lr suffices there
-        t = cfg.TRAINING
         if t.warmupEpoch == -1 or self.train_loader is None:
             self.lr = t.lr
         else:
@@ -164,16 +163,17 @@ class Runner:
             # every process must make the same resume decision: a host that
             # can't see the checkpoint would silently keep fresh-init params
             # inside a "replicated" global array and run a different number
-            # of epochs of collectives (hang/corruption)
+            # of epochs of collectives (hang/corruption). allgather (not
+            # broadcast) so a disagreement raises on EVERY process together
+            # instead of stranding the rest at the next collective
             from hupr_tpu.parallel import multihost
-            found0 = multihost.broadcast_scalar(0.0 if path is None else 1.0)
-            if bool(found0) != (path is not None):
+            found = multihost.allgather_scalar(0.0 if path is None else 1.0)
+            if any(f != found[0] for f in found):
+                missing = [i for i, f in enumerate(found) if not f]
                 raise RuntimeError(
-                    f"checkpoint visibility differs across hosts: process 0 "
-                    f"{'found' if found0 else 'did not find'} a '{mode}' "
-                    f"checkpoint but process {self.pid} "
-                    f"{'did not' if path is None else 'did'} — the logs dir "
-                    f"must be a shared filesystem")
+                    f"checkpoint visibility differs across hosts: process(es) "
+                    f"{missing} did not find a '{mode}' checkpoint the others "
+                    f"did — the logs dir must be a shared filesystem")
         if path is None:
             print("==========>Train the model from scratch")
             return
@@ -183,20 +183,25 @@ class Runner:
                   f"saved at epoch {epoch}")
         else:
             self.state, epoch, acc = load_checkpoint(path, self.state)
-            if not self.args.eval:
-                self.start_epoch = epoch
-                self.logger.update_best_acc(acc)
             print(f"==========>Load the model weight from {self.dir}, "
                   f"saved at epoch {epoch}")
+        if not self.args.eval:
+            # resume bookkeeping applies to BOTH formats (the reference
+            # restores start_epoch + best AP from any checkpoint.pth,
+            # tools/base.py:115-116) — a migrated torch run must not restart
+            # at epoch 0 or let its first AP overwrite model_best
+            self.start_epoch = epoch
+            self.logger.update_best_acc(acc)
         if self.n_proc > 1:
             # same file, same content everywhere — a stale copy on one host
-            # would desynchronize start_epoch (collective-schedule mismatch)
+            # would desynchronize start_epoch (collective-schedule mismatch);
+            # allgather so every process raises together on a mismatch
             from hupr_tpu.parallel import multihost
-            epoch0 = multihost.broadcast_scalar(float(epoch))
-            if int(epoch0) != int(epoch):
+            epochs = multihost.allgather_scalar(float(epoch))
+            if any(int(e) != int(epochs[0]) for e in epochs):
                 raise RuntimeError(
-                    f"checkpoint epoch differs across hosts: process 0 read "
-                    f"epoch {int(epoch0)}, process {self.pid} read {epoch}")
+                    f"checkpoint epoch differs across hosts: per-process "
+                    f"epochs {[int(e) for e in epochs]}")
         self.state = replicate_state(self.state, self.mesh)
 
     def save_model_weight(self, epoch: int, acc: float):
@@ -281,6 +286,7 @@ class Runner:
                                               sequence_groups)
         applicable = getattr(self.cfg.TEST, "sequenceEval", True) and \
             SequenceEvaluator.applicable(self.test_set, self.cfg)
+        self._eval_len = len(self.test_set)
         if self.n_proc > 1:
             if not applicable:
                 raise RuntimeError(
@@ -296,8 +302,12 @@ class Runner:
                          "batch_stats": jax.device_get(
                              self.state.batch_stats)}
             groups = sequence_groups(self.test_set.image_ids)
-            return self._seq_eval.eval_batches(
-                self.test_set, variables, groups[self.pid::self.n_proc])
+            share = groups[self.pid::self.n_proc]
+            # the progress bar should track THIS process's share, not the
+            # full dataset (it would end every epoch at ~1/n_proc otherwise)
+            self._eval_len = sum(length for _, length in share)
+            return self._seq_eval.eval_batches(self.test_set, variables,
+                                               share)
         if applicable:
             if self._seq_eval is None:
                 self._seq_eval = SequenceEvaluator(self.model, self.cfg,
@@ -310,8 +320,9 @@ class Runner:
     def eval(self, visualization: bool = True, epoch: int = -1) -> float:
         loss_list = []
         save_preds: list = []
-        self.logger.clear(len(self.test_set))
-        for out, image_ids, bbox, true_b in self._eval_batches():
+        batches = self._eval_batches()   # also sets self._eval_len
+        self.logger.clear(self._eval_len)
+        for out, image_ids, bbox, true_b in batches:
             pred2d = np.asarray(out["pred2d"])[:true_b]
             loss = float(out["loss"])
             self.logger.display(loss, float(out["loss2"]), true_b, epoch)

@@ -200,6 +200,12 @@ class SequenceEvaluator:
 
         if groups is None:
             groups = sequence_groups(dataset.image_ids)
+        # place the parameter tree on device ONCE: callers may hand host
+        # numpy (multi-host eval fetches the globally-sharded state to host
+        # first), and leaving it host-side would re-transfer the full tree
+        # on every jitted encode/step call — ~20 uploads per sequence
+        variables = (jax.device_put(variables, self._rep)
+                     if self._rep is not None else jax.device_put(variables))
         stop = threading.Event()
 
         # one-sequence lookahead: load sequence s+1 while the device chews s.
@@ -237,7 +243,6 @@ class SequenceEvaluator:
                     # refuses to auto-shard numpy under multi-process
                     # runtimes; pre-placement is also the faster path)
                     planes = [jax.device_put(p, self._shard) for p in planes]
-                    variables = jax.device_put(variables, self._rep)
                 ra_pad, re_pad = self._encode(variables, *planes, pad_to)
                 for b in range(n_batches):
                     s = b * self.batch_size

@@ -32,7 +32,7 @@ from hupr_tpu.engine.pipeline import cube_chirp_input
 
 class StreamingPoseEstimator:
     def __init__(self, model, variables, params: RadarParams = RadarParams(),
-                 group: int = 8):
+                 group: int = 8, num_frames: int = 8):
         self.model = model
         self.variables = variables
         self.params = params
@@ -50,8 +50,8 @@ class StreamingPoseEstimator:
 
             hr, hi = cube(hori_re, hori_im)
             vr, vi = cube(vert_re, vert_im)
-            hori = cube_chirp_input(hr, hi)
-            vert = cube_chirp_input(vr, vi)
+            hori = cube_chirp_input(hr, hi, num_frames)
+            vert = cube_chirp_input(vr, vi, num_frames)
             ra, re = model.apply(variables, hori, vert, method="chirp_maps")
             return ra[0, 0], re[0, 0]                  # (R, A, F) each
 

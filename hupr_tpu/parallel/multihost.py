@@ -171,6 +171,21 @@ def broadcast_scalar(value: float) -> float:
     return float(client.blocking_key_value_get(key, _SYNC_TIMEOUT_MS))
 
 
+def allgather_scalar(value: float) -> list:
+    """Every process's value, in process order, via the coordination-service
+    KV store (no device collectives — tolerant of arbitrary skew, and every
+    process sees the same list, so agreement checks raise on ALL processes
+    together instead of leaving the others hanging at the next collective)."""
+    client = _coord_client()
+    if client is None:
+        return [float(value)]
+    key = _next_id("hupr_kv/ag")
+    client.key_value_set(f"{key}/{process_index()}", repr(float(value)))
+    return [
+        float(client.blocking_key_value_get(f"{key}/{p}", _SYNC_TIMEOUT_MS))
+        for p in range(process_count())]
+
+
 def warmup_device_collectives(mesh) -> None:
     """Establish the cross-process device-collective communicator while
     processes are tightly synchronized (right after the coordination
