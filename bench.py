@@ -59,9 +59,37 @@ def _init_variables_host(model, example):
     return jax.tree.map(make, shapes)
 
 
+def _wait_for_backend(attempts=4, probe_timeout=300, sleep_s=30):
+    """The dev TPU tunnel occasionally stalls or refuses the first contact
+    after heavy use; a retry has always recovered it (DEVNOTES.md). Probe in
+    a subprocess so a failed init isn't cached in this process, and only
+    fall through (to the real error) after several spaced attempts.
+    BENCH_PREFLIGHT=0 skips."""
+    import subprocess
+
+    if os.environ.get("BENCH_PREFLIGHT", "1") == "0":
+        return
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=probe_timeout)
+            if r.returncode == 0:
+                return
+            err = r.stderr.decode(errors="replace").strip().splitlines()
+            err = err[-1] if err else "(no stderr)"
+        except subprocess.TimeoutExpired:
+            err = f"probe hung > {probe_timeout}s"
+        print(f"bench preflight: backend probe {attempt + 1}/{attempts} "
+              f"failed: {err}", file=sys.stderr)
+        if attempt < attempts - 1:
+            time.sleep(sleep_s)
+
+
 def main():
     import jax
 
+    _wait_for_backend()
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

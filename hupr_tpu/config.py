@@ -163,3 +163,13 @@ def resolve_config_path(name: str) -> str:
     if os.path.exists(name):
         return name
     return os.path.join(".", "config", name)
+
+
+def apply_platform_env() -> None:
+    """Honor HUPR_PLATFORM (e.g. `cpu` for a chip-less smoke run) in every
+    CLI. Must run before jax backend init; threaded through jax.config
+    because some platform plugins ignore the JAX_PLATFORMS env var."""
+    platform = os.environ.get("HUPR_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)

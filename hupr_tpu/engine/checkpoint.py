@@ -38,9 +38,16 @@ def _write_payload(path: str, payload: dict):
     os.replace(tmp, path)
 
 
-def snapshot_state(state, epoch: int, accuracy: float) -> dict:
+def snapshot_state(state, epoch: int, accuracy: float,
+                   lr: Optional[float] = None) -> dict:
     """Fetch the TrainState to host ONCE; the payload can then be written to
-    any number of retention files without further device round-trips."""
+    any number of retention files without further device round-trips.
+
+    `lr` is the learning rate in effect when the snapshot was taken: the
+    reference persists it inside optimizer.state_dict()['param_groups'] and
+    restores it on resume (tools/base.py:114), so a resumed run continues
+    the warmup-growth/decay trajectory instead of restarting at the initial
+    LR. -1.0 encodes "not recorded"."""
     return {
         "params": _to_host(state.params),
         "batch_stats": _to_host(state.batch_stats),
@@ -48,11 +55,13 @@ def snapshot_state(state, epoch: int, accuracy: float) -> dict:
         "step": int(state.step),
         "epoch": int(epoch),
         "accuracy": float(accuracy) if accuracy is not None else -1.0,
+        "lr": float(lr) if lr is not None else -1.0,
     }
 
 
-def save_checkpoint(path: str, state, epoch: int, accuracy: float):
-    _write_payload(path, snapshot_state(state, epoch, accuracy))
+def save_checkpoint(path: str, state, epoch: int, accuracy: float,
+                    lr: Optional[float] = None):
+    _write_payload(path, snapshot_state(state, epoch, accuracy, lr))
 
 
 class AsyncCheckpointer:
@@ -66,7 +75,8 @@ class AsyncCheckpointer:
         self._thread: Optional[threading.Thread] = None
         self._failure: list = []
 
-    def save(self, paths, state, epoch: int, accuracy: float):
+    def save(self, paths, state, epoch: int, accuracy: float,
+             lr: Optional[float] = None):
         """Write the same snapshot to every path in `paths`."""
         import jax.numpy as jnp
         self.wait()
@@ -79,7 +89,7 @@ class AsyncCheckpointer:
 
         def work():
             try:
-                payload = snapshot_state(snap, epoch, accuracy)
+                payload = snapshot_state(snap, epoch, accuracy, lr)
                 for p in paths:
                     _write_payload(p, payload)
             except BaseException as exc:  # surface on the next wait()
@@ -112,13 +122,17 @@ def save_weights_only_checkpoint(path: str, variables: dict,
 
 def load_checkpoint(path: str, state):
     """Restore a TrainState template from a saved checkpoint; returns
-    (state, epoch, accuracy)."""
+    (state, epoch, accuracy, lr) with lr=None when the checkpoint predates
+    LR recording (or is weights-only)."""
     with open(path, "rb") as fp:
         payload = serialization.msgpack_restore(fp.read())
+    payload = dict(payload)
+    # kept out of the from_state_dict template so old checkpoints (no "lr"
+    # key) restore unchanged
+    lr = float(payload.pop("lr", -1.0))
     if not payload.get("opt_state"):
         # weights-only checkpoint (e.g. converted from a reference .pth):
         # keep the fresh optimizer state from the template
-        payload = dict(payload)
         payload["opt_state"] = serialization.to_state_dict(
             _to_host(state.opt_state))
     template = {
@@ -134,19 +148,23 @@ def load_checkpoint(path: str, state):
         opt_state=restored["opt_state"],
         step=jax.numpy.asarray(restored["step"], jax.numpy.int32),
     )
-    return new_state, int(restored["epoch"]), float(restored["accuracy"])
+    return (new_state, int(restored["epoch"]), float(restored["accuracy"]),
+            lr if lr > 0 else None)
 
 
 def load_torch_checkpoint(path: str, state):
     """Load a reference .pth (model weights only; the torch Adam state is not
-    portable) -> (state, epoch, accuracy)."""
+    portable) -> (state, epoch, accuracy, lr). lr comes from the pickled
+    optimizer param_groups when present (the reference restores it on resume,
+    tools/base.py:114), else None."""
     from hupr_tpu.models.torch_convert import convert_torch_checkpoint
     ckpt = convert_torch_checkpoint(path)
     var = ckpt["variables"]
     new_state = state.replace(params=var["params"],
                               batch_stats=var["batch_stats"])
     acc = ckpt["accuracy"]
-    return new_state, ckpt["epoch"], float(acc) if acc is not None else -1.0
+    return (new_state, ckpt["epoch"],
+            float(acc) if acc is not None else -1.0, ckpt["lr"])
 
 
 def find_checkpoint(log_dir: str, mode: str) -> Optional[str]:

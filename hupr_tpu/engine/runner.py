@@ -112,15 +112,22 @@ class Runner:
                                        shuffle=False, seed=args.seed,
                                        workers=cfg.SETUP.numWorkers)
         if self.n_proc > 1:
+            from hupr_tpu.parallel import multihost
+            # per-host copies of the data must describe the SAME global
+            # dataset: a divergent annotation file gives hosts different
+            # batch counts, so one host would issue collectives the others
+            # never join (a diagnostic-free hang at the coordination
+            # timeout). Fail fast with the per-process sizes instead.
+            multihost.assert_agreement(
+                "train dataset size",
+                -1.0 if self.train_set is None else float(
+                    len(self.train_set)))
+            multihost.assert_agreement(
+                f"{self.test_set.phase} dataset size",
+                float(len(self.test_set)))
             # eval under multi-host requires sequence mode: fail at startup,
             # not after a full epoch of pod time
-            from hupr_tpu.engine.seq_eval import SequenceEvaluator
-            if not (getattr(cfg.TEST, "sequenceEval", True)
-                    and SequenceEvaluator.applicable(self.test_set, cfg)):
-                raise RuntimeError(
-                    "multi-host eval needs sequence mode (TEST.sequenceEval "
-                    "on, sampling_ratio 1, lossDecay -1, full-duration "
-                    "sequences)")
+            self._require_sequence_eval()
 
         # warmup LR back-computation (run.py:30-32); eval mode has no train
         # loader and never steps the optimizer, so plain lr suffices there
@@ -155,6 +162,20 @@ class Runner:
         if self.alpha < 1.0:
             self.alpha += self.cfg.TRAINING.lossDecay
 
+    def _sequence_eval_applicable(self) -> bool:
+        """Single source of truth for 'eval can run in sequence mode' —
+        shared by the startup multi-host guard and per-epoch eval dispatch
+        so the two sites cannot drift."""
+        from hupr_tpu.engine.seq_eval import SequenceEvaluator
+        return (getattr(self.cfg.TEST, "sequenceEval", True)
+                and SequenceEvaluator.applicable(self.test_set, self.cfg))
+
+    def _require_sequence_eval(self):
+        if not self._sequence_eval_applicable():
+            raise RuntimeError(
+                "multi-host eval needs sequence mode (TEST.sequenceEval on, "
+                "sampling_ratio 1, lossDecay -1, full-duration sequences)")
+
     # ---------------- checkpoints ----------------
 
     def load_model_weight(self, mode: str):
@@ -178,11 +199,12 @@ class Runner:
             print("==========>Train the model from scratch")
             return
         if path.endswith(".pth"):
-            self.state, epoch, acc = load_torch_checkpoint(path, self.state)
+            self.state, epoch, acc, lr = load_torch_checkpoint(
+                path, self.state)
             print(f"==========>Load the reference torch weights from {path}, "
                   f"saved at epoch {epoch}")
         else:
-            self.state, epoch, acc = load_checkpoint(path, self.state)
+            self.state, epoch, acc, lr = load_checkpoint(path, self.state)
             print(f"==========>Load the model weight from {self.dir}, "
                   f"saved at epoch {epoch}")
         if not self.args.eval:
@@ -192,6 +214,13 @@ class Runner:
             # at epoch 0 or let its first AP overwrite model_best
             self.start_epoch = epoch
             self.logger.update_best_acc(acc)
+            if lr is not None:
+                # continue the warmup-growth/decay trajectory at the saved
+                # LR, exactly as the reference's optimizer.load_state_dict
+                # does (tools/base.py:114) — __init__ recomputed the fresh-
+                # run initial LR, which is wrong after N decays (and wildly
+                # wrong mid-warmup)
+                self.lr = lr
         if self.n_proc > 1:
             # same file, same content everywhere — a stale copy on one host
             # would desynchronize start_epoch (collective-schedule mismatch);
@@ -221,7 +250,7 @@ class Runner:
         if epoch % 5 == 0:
             paths.append(os.path.join(self.dir, f"checkpoint_{epoch}.ckpt"))
         self.checkpointer.save(paths, self.state, epoch,
-                               self.logger.show_best_ap())
+                               self.logger.show_best_ap(), lr=self.lr)
 
     def save_loss_list(self, epoch: int, loss_list, mode: str):
         if self.n_proc > 1 and self.pid != 0:
@@ -284,15 +313,10 @@ class Runner:
         its LOCAL devices (no DCN traffic); eval() merges the rank results."""
         from hupr_tpu.engine.seq_eval import (SequenceEvaluator,
                                               sequence_groups)
-        applicable = getattr(self.cfg.TEST, "sequenceEval", True) and \
-            SequenceEvaluator.applicable(self.test_set, self.cfg)
+        applicable = self._sequence_eval_applicable()
         self._eval_len = len(self.test_set)
         if self.n_proc > 1:
-            if not applicable:
-                raise RuntimeError(
-                    "multi-host eval needs sequence mode (TEST.sequenceEval "
-                    "on, sampling_ratio 1, lossDecay -1, full-duration "
-                    "sequences)")
+            self._require_sequence_eval()
             if self._seq_eval is None:
                 local = jax.local_devices()
                 local_mesh = make_mesh(local) if len(local) > 1 else None

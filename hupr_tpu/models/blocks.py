@@ -38,7 +38,6 @@ class TorchBatchNorm(nn.Module):
     use_running_average: bool
     momentum: float = 0.1
     epsilon: float = 1e-5
-    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, row_mask=None):
@@ -126,8 +125,10 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, row_mask=None):
         k = (3,) * self.ndim
+        # (no dtype knob: normalization precision follows x.dtype, with the
+        # statistics always accumulated in f32 — see __call__)
         bn = partial(TorchBatchNorm, use_running_average=not train,
-                     momentum=0.1, epsilon=1e-5, dtype=self.dtype)
+                     momentum=0.1, epsilon=1e-5)
 
         h = conv(self.out_channels, k, self.in_channels, padding=1,
                  use_bias=False, name="conv1", dtype=self.dtype)(x)

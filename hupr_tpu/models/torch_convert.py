@@ -135,8 +135,10 @@ def main():
     Runner.load_model_weight / engine.checkpoint.load_checkpoint read."""
     import argparse
 
+    from hupr_tpu.config import apply_platform_env
     from hupr_tpu.engine.checkpoint import save_weights_only_checkpoint
 
+    apply_platform_env()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("src", help="reference .pth checkpoint")
     ap.add_argument("dst", help="output .ckpt path")
@@ -176,10 +178,19 @@ def convert_torch_checkpoint(path: str) -> dict:
     sd = ckpt["model_state_dict"] if "model_state_dict" in ckpt else ckpt
     # strip DataParallel prefixes if present
     sd = { (k[7:] if k.startswith("module.") else k): v for k, v in sd.items() }
+    # the LR in effect when the checkpoint was written lives in the torch
+    # optimizer's param_groups; the reference restores it on resume
+    # (tools/base.py:114)
+    lr = None
+    if isinstance(ckpt, dict):
+        groups = ckpt.get("optimizer_state_dict", {}).get("param_groups", [])
+        if groups and "lr" in groups[0]:
+            lr = float(groups[0]["lr"])
     return {
         "variables": convert_state_dict(sd),
         "epoch": ckpt.get("epoch", -1) if isinstance(ckpt, dict) else -1,
         "accuracy": ckpt.get("accuracy", None) if isinstance(ckpt, dict) else None,
+        "lr": lr,
     }
 
 

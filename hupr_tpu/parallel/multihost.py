@@ -15,8 +15,11 @@ on best-model tracking.
 
 Requirement: the data dir and the ./logs output dir must live on a
 filesystem shared by all processes (rank-file merge, process-0-only
-checkpointing, resume). Runner verifies this at startup with
-assert_shared_dir.
+checkpointing, resume). Runner verifies the logs dir at startup with
+assert_shared_dir (a probe file), and catches divergent per-host data
+copies by asserting cross-host agreement on the dataset sizes
+(assert_agreement) — hosts with different annotation files would otherwise
+run different batch counts and hang the pod at a skewed collective.
 """
 
 from __future__ import annotations
@@ -184,6 +187,20 @@ def allgather_scalar(value: float) -> list:
     return [
         float(client.blocking_key_value_get(f"{key}/{p}", _SYNC_TIMEOUT_MS))
         for p in range(process_count())]
+
+
+def assert_agreement(tag: str, value: float) -> None:
+    """Fail fast — on EVERY process together — if `value` differs across
+    hosts. Rides the KV-store allgather, so a disagreement raises everywhere
+    with the per-process values instead of stranding the others at the next
+    collective."""
+    if process_count() == 1:
+        return
+    vals = allgather_scalar(float(value))
+    if any(v != vals[0] for v in vals):
+        raise RuntimeError(
+            f"multi-host disagreement on {tag}: per-process values "
+            f"{vals} — all hosts must see the same data/config")
 
 
 def warmup_device_collectives(mesh) -> None:

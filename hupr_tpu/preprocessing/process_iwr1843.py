@@ -147,6 +147,8 @@ def load_data_plot(out_dir: str, annot_path: str, rgb_dir: str,
 
 
 def main():
+    from hupr_tpu.config import apply_platform_env
+    apply_platform_env()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sequences", type=int, nargs="*", default=None,
                     help="sequence ids to process (default: all with raw data)")

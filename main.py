@@ -4,12 +4,14 @@
     python main.py --config mscsa_prgcn.yaml --dir mscsa_prgcn --eval    # eval
 """
 
-from hupr_tpu.config import build_arg_parser, load_config, resolve_config_path
+from hupr_tpu.config import (apply_platform_env, build_arg_parser,
+                             load_config, resolve_config_path)
 from hupr_tpu.engine import Runner
 
 
 def main():
     import os
+    apply_platform_env()
     if os.environ.get("HUPR_MULTIHOST") == "1":
         # multi-host SPMD over DCN: every host runs this same program; the
         # data-parallel Mesh in hupr_tpu.parallel then spans all hosts' chips

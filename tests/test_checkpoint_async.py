@@ -35,11 +35,11 @@ def _batch(b=2, seed=0):
 def test_async_save_matches_sync_and_survives_donation(tmp_path):
     cfg, model, tx, state = _setup()
     sync_path = str(tmp_path / "sync.ckpt")
-    save_checkpoint(sync_path, state, epoch=3, accuracy=0.25)
+    save_checkpoint(sync_path, state, epoch=3, accuracy=0.25, lr=5e-5)
 
     ckpt = AsyncCheckpointer()
     paths = [str(tmp_path / "a.ckpt"), str(tmp_path / "b.ckpt")]
-    ckpt.save(paths, state, epoch=3, accuracy=0.25)
+    ckpt.save(paths, state, epoch=3, accuracy=0.25, lr=5e-5)
 
     # donate the live state's buffers while the background fetch runs —
     # exactly what the next train step does in the Runner
@@ -48,11 +48,13 @@ def test_async_save_matches_sync_and_survives_donation(tmp_path):
     ckpt.wait()
 
     template = init_state(model, cfg, jax.random.PRNGKey(7))
-    want, epoch_w, acc_w = load_checkpoint(sync_path, template)
+    want, epoch_w, acc_w, lr_w = load_checkpoint(sync_path, template)
+    assert np.isclose(lr_w, 5e-5)  # resume continues the saved LR schedule
     for p in paths:
         assert os.path.exists(p)
-        got, epoch, acc = load_checkpoint(p, template)
+        got, epoch, acc, lr = load_checkpoint(p, template)
         assert (epoch, acc) == (epoch_w, acc_w) == (3, 0.25)
+        assert np.isclose(lr, lr_w)
         for a, b in zip(jax.tree.leaves(want.params),
                         jax.tree.leaves(got.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -95,6 +95,18 @@ def test_train_eval_end_to_end(tmp_path):
             assert len(block["keypoints"]) == 42
             assert block["score"] == 1.0
 
+        # train-mode resume restores the LR in effect at the save (the
+        # reference restores param_groups' lr via optimizer.load_state_dict,
+        # tools/base.py:114) — not the fresh-run initial LR
+        args3 = argparse.Namespace(seed=0, dir="e2e", visDir="none",
+                                   eval=False, sampling_ratio=1,
+                                   keypoints=False)
+        runner3 = Runner(args3, cfg)
+        assert runner3.lr == cfg.TRAINING.lr  # fresh-init value pre-load
+        runner3.load_model_weight("checkpoint")
+        assert np.isclose(runner3.lr, runner.lr)
+        assert runner3.lr != cfg.TRAINING.lr  # decay steps actually applied
+
         # resume path: a fresh runner loads the checkpoint
         args2 = argparse.Namespace(seed=0, dir="e2e", visDir="none",
                                    eval=True, sampling_ratio=1,

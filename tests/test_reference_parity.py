@@ -88,13 +88,18 @@ def test_pth_roundtrip_through_runner_load_path(ref_net_and_inputs, tmp_path):
 
     net, cfg, hori, vert, t_heat, t_gcn = ref_net_and_inputs
     path = str(tmp_path / "model_best.pth")
+    # optimizer_state_dict shaped as torch.optim.Adam.state_dict() shapes it:
+    # the reference restores param_groups' lr on resume (tools/base.py:114)
     torch.save({"epoch": 7, "model_state_dict": net.state_dict(),
+                "optimizer_state_dict": {
+                    "state": {}, "param_groups": [{"lr": 3.3e-5}]},
                 "accuracy": 0.51}, path)
 
     model = build_model(cfg)
     state = init_state(model, cfg, jax.random.PRNGKey(0))
-    state, epoch, acc = load_torch_checkpoint(path, state)
+    state, epoch, acc, lr = load_torch_checkpoint(path, state)
     assert epoch == 7 and np.isclose(acc, 0.51)
+    assert np.isclose(lr, 3.3e-5)
 
     j_heat, j_gcn = jax.jit(model.apply)(
         {"params": state.params, "batch_stats": state.batch_stats},
@@ -255,9 +260,10 @@ def test_convert_cli_roundtrip(ref_net_and_inputs, tmp_path, monkeypatch,
 
     model = build_model(cfg)
     state = init_state(model, cfg, jax.random.PRNGKey(0))
-    state, epoch, acc = load_checkpoint(dst, state)
+    state, epoch, acc, lr = load_checkpoint(dst, state)
     assert epoch == 0  # weights-only: must not act as a resume point
     assert np.isclose(acc, 0.42)
+    assert lr is None  # weights-only: no LR trajectory to continue
     j_heat, _ = jax.jit(model.apply)(
         {"params": state.params, "batch_stats": state.batch_stats},
         hori, vert)
