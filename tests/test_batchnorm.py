@@ -38,10 +38,12 @@ def test_train_mode_output_and_running_stats_match_torch():
 
 
 def test_train_mode_near_constant_channel_stays_finite():
-    """The one-pass E[x^2]-E[x]^2 variance catastrophically cancels on a
-    near-constant channel with a large mean (reaches ~-0.5 here, NaN-ing the
-    rsqrt); the two-pass E[(x-mean)^2] formulation (torch's) must stay
-    finite on both the unmasked and masked branches."""
+    """The naive one-pass E[x^2]-E[x]^2 variance catastrophically cancels on
+    a near-constant channel with a large mean (reached ~-0.5 here, NaN-ing
+    the rsqrt). The shipped shifted one-pass moments (shift = sampled row 0,
+    error relative to the true variance rather than to mean^2) must stay
+    finite on both the unmasked and masked branches — this is the regression
+    test that killed the naive formulation."""
     c = 2
     x = np.full((8, 16, 16, c), 173.2187, np.float32)
     x[..., 1] += np.random.default_rng(0).normal(
