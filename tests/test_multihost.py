@@ -103,3 +103,22 @@ def test_two_process_distributed_train_step():
         assert m, f"no OK line in:\n{out[-3000:]}"
         losses.append(float(m.group(1)))
     assert losses[0] == losses[1]
+
+
+def test_assert_agreement_unit(monkeypatch):
+    """assert_agreement raises (with the per-process values) when hosts
+    disagree, passes when they agree, and no-ops single-process. Fast unit
+    test of the logic; the 2-process Runner test exercises the real
+    KV-store allgather path."""
+    from hupr_tpu.parallel import multihost
+
+    multihost.assert_agreement("anything", 3.0)  # single-process: no-op
+
+    monkeypatch.setattr(multihost, "process_count", lambda: 2)
+    monkeypatch.setattr(multihost, "allgather_scalar", lambda v: [4.0, 4.0])
+    multihost.assert_agreement("dataset size", 4.0)  # agreement: no raise
+
+    monkeypatch.setattr(multihost, "allgather_scalar", lambda v: [4.0, 5.0])
+    with pytest.raises(RuntimeError, match=r"disagreement on dataset size.*"
+                                           r"\[4\.0, 5\.0\]"):
+        multihost.assert_agreement("dataset size", 4.0)
