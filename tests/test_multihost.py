@@ -46,7 +46,11 @@ def test_two_process_runner_train_eval(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=840)
+            # generous: on a 1-core host with a COLD persistent compile
+            # cache (any model-code change invalidates it) both workers
+            # compile every program concurrently — observed ~8 min warm,
+            # >14 min cold+contended
+            out, _ = p.communicate(timeout=1800)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -89,7 +93,7 @@ def test_two_process_distributed_train_step():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=540)
+            out, _ = p.communicate(timeout=1200)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
