@@ -68,7 +68,10 @@ class TorchBatchNorm(nn.Module):
             # large means, f32 error ~ mean^2*2^-24 > var): with a sampled
             # shift the cancellation error is bounded by ~n*var*eps, i.e.
             # RELATIVE to the true variance. stop_gradient keeps the AD
-            # gradients identical to the unshifted formulation.
+            # gradients identical to the unshifted formulation. Under a
+            # batch-sharded mesh row 0 lives on one device, so XLA inserts
+            # a per-BN broadcast of a C-vector — bytes-trivial vs the
+            # activation traversal it saves (and absent on one chip).
             c0 = jax.lax.stop_gradient(xf.reshape(-1, features)[0])
             xc = xf - c0
             if row_mask is None:
