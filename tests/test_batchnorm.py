@@ -37,17 +37,21 @@ def test_train_mode_output_and_running_stats_match_torch():
                                tbn.running_var.numpy(), atol=1e-5)
 
 
-def test_train_mode_near_constant_channel_stays_finite():
+def test_train_mode_large_mean_small_variance_channels_stay_accurate():
     """The naive one-pass E[x^2]-E[x]^2 variance catastrophically cancels on
-    a near-constant channel with a large mean (reached ~-0.5 here, NaN-ing
-    the rsqrt). The shipped shifted one-pass moments (shift = sampled row 0,
-    error relative to the true variance rather than to mean^2) must stay
-    finite on both the unmasked and masked branches — this is the regression
-    test that killed the naive formulation."""
+    small-variance channels with large means: its absolute error scales with
+    mean^2 * eps_f32 (~2e-3 at mean 173), which swamps a true variance of
+    2.5e-3 (negative variance -> 0 under the clamp -> ~16x-wrong rsqrt(eps)
+    normalization) and NaN'd outright before the clamp existed. The shipped
+    shifted one-pass moments (shift = sampled row 0) keep the error RELATIVE
+    to the true variance, so both channels here must match a float64
+    two-pass reference — finiteness alone would no longer catch a naive
+    regression now that the clamp exists."""
     c = 2
+    rng = np.random.default_rng(0)
     x = np.full((8, 16, 16, c), 173.2187, np.float32)
-    x[..., 1] += np.random.default_rng(0).normal(
-        0, 1e-4, x[..., 1].shape).astype(np.float32)
+    x[..., 0] += rng.normal(0, 5e-2, x[..., 0].shape).astype(np.float32)
+    x[..., 1] += rng.normal(0, 1e-4, x[..., 1].shape).astype(np.float32)
     bn = TorchBatchNorm(use_running_average=False)
     variables = {
         "params": {"scale": np.ones(c, np.float32),
@@ -58,7 +62,21 @@ def test_train_mode_near_constant_channel_stays_finite():
     for mask in (None, jnp.ones(8, jnp.float32).at[6:].set(0.0)):
         got, _ = bn.apply(variables, jnp.asarray(x), mask,
                           mutable=["batch_stats"])
-        assert np.isfinite(np.asarray(got)).all()
+        got = np.asarray(got)
+        assert np.isfinite(got).all()
+        rows = 8 if mask is None else 6
+        x64 = x[:rows].astype(np.float64)
+        mean64 = x64.mean(axis=(0, 1, 2))
+        var64 = np.square(x64 - mean64).mean(axis=(0, 1, 2))
+        want = ((x.astype(np.float64) - mean64)
+                / np.sqrt(var64 + 1e-5)).astype(np.float32)
+        # rtol on the normalized outputs: a clamped-to-zero variance would
+        # be ~16x (ch 0) / ~1.03x (ch 1, eps-dominated) off; real f32
+        # reduction noise is orders below these bounds
+        np.testing.assert_allclose(got[..., 0], want[..., 0], rtol=2e-2,
+                                   atol=2e-2)
+        np.testing.assert_allclose(got[..., 1], want[..., 1], rtol=2e-2,
+                                   atol=2e-2)
 
 
 def test_eval_mode_uses_running_stats():

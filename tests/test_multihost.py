@@ -118,11 +118,14 @@ def test_assert_agreement_unit(monkeypatch):
 
     multihost.assert_agreement("anything", 3.0)  # single-process: no-op
 
+    # stubs keep the caller's value load-bearing: assert_agreement must
+    # gather the value it was handed, not a constant
     monkeypatch.setattr(multihost, "process_count", lambda: 2)
-    monkeypatch.setattr(multihost, "allgather_scalar", lambda v: [4.0, 4.0])
+    monkeypatch.setattr(multihost, "allgather_scalar", lambda v: [v, v])
     multihost.assert_agreement("dataset size", 4.0)  # agreement: no raise
 
-    monkeypatch.setattr(multihost, "allgather_scalar", lambda v: [4.0, 5.0])
+    monkeypatch.setattr(multihost, "allgather_scalar",
+                        lambda v: [v, v + 1.0])
     with pytest.raises(RuntimeError, match=r"disagreement on dataset size.*"
                                            r"\[4\.0, 5\.0\]"):
         multihost.assert_agreement("dataset size", 4.0)

@@ -117,10 +117,12 @@ def test_padded_batch_train_step_matches_unpadded_exactly():
     # masked-sum/count vs jnp.mean reduce in different orders: identical
     # math, f32 noise through the BN rsqrt -> grads (observed max ~4e-5
     # with two-pass BN, ~2e-4 with the shifted one-pass moments; the
-    # batch_stats equality above stays at 1e-5 either way)
+    # batch_stats equality above stays at 1e-5 either way). 5e-4 keeps
+    # >2x headroom over the observed noise across platforms while still
+    # catching systematic stat-leak bugs (those show up at >>1e-3)
     for a, b in zip(jax.tree.leaves(state_ref.params),
                     jax.tree.leaves(state_pad.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4,
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
                                    rtol=1e-4)
 
 
