@@ -70,6 +70,15 @@ class TrainingConfig:
     lossDecay: float = -1
     optimizer: str = "adam"
     weightDecay: float = 1e-4
+    # device-side window assembly for training (engine/chunk_train.py):
+    # each step trains batchSize CONSECUTIVE windows of one sequence, the
+    # host ships their frame union once (~6x less memcpy/transfer), windows
+    # gather on device. Per-step gradients equal the classic step's
+    # (tests/test_chunk_train.py) but the epoch shuffles chunks, not
+    # windows — a training-semantics change, hence opt-in. Auto-falls back
+    # to the classic loader when inapplicable (sampling_ratio != 1,
+    # lossDecay != -1, ragged sequences, multi-host).
+    chunkTrain: bool = False
 
 
 @dataclass

@@ -12,3 +12,7 @@ from hupr_tpu.engine.checkpoint import (
     load_torch_checkpoint,
 )
 from hupr_tpu.engine.logger import Logger
+from hupr_tpu.engine.chunk_train import (
+    ChunkTrainLoader,
+    make_chunk_train_step,
+)

@@ -1,0 +1,282 @@
+"""Device-side window assembly for TRAINING (opt-in `TRAINING.chunkTrain`).
+
+The classic train loop (reference tools/run.py:65-86 via DataLoader) makes
+the host assemble a (G, C, 2, R, A, E) window per sample — 33.6 MB of memcpy
+and host->device traffic each — although adjacent windows share G-1 of G
+frames (datasets/dataset.py:126-138). BENCH_r02 measured the result: the
+loader sustains ~46 samples/s while the chip consumes ~118 — real training
+on this host is ~2.5x host-bound.
+
+Chunk mode trains each step on a batch of B CONSECUTIVE windows of one
+sequence. The host ships the union of their frames ONCE (exactly
+B + G - 1 padded per-frame planes, ~6x less memcpy/transfer at the flagship
+B=20, G=8) plus a (B, G) gather table derived from the SAME clamped
+window_indices the classic dataset uses. On device, normalize + the MNet
+chirp encode (BN-free, per-frame — models/hupr.py chirp_maps) run once per
+unique frame, windows gather the encoded (R, A, F) maps, and the pose
+network + loss + Adam update are byte-identical program structure to
+steps.make_train_step. Autodiff sums each shared frame's cotangents across
+the windows that gather it, so parameter gradients EQUAL the classic step's
+on the same window batch (tests/test_chunk_train.py pins loss + updated
+params); MNet also runs ~6x fewer frame encodes as a side effect.
+
+Why it's opt-in (a documented training-semantics change, not a numerics
+change): the epoch shuffles CHUNKS, not individual windows — every optimizer
+step sees B consecutive, temporally-correlated windows, which alters
+SGD/BatchNorm batch mixing relative to the reference's fully-shuffled epochs.
+Per-step math on a given window batch is unchanged.
+
+Applicability mirrors sequence-mode eval (engine/seq_eval.py): sampling
+ratio 1, lossDecay == -1 (step counts differ from the classic epoch when
+duration % B != 0, which would desynchronize the annealing trajectory), and
+full-duration sequences (the reference's `index % duration` clamp only
+defines in-range windows then). Multi-host runs keep the classic loader
+(each process would need a frame-halo protocol to assemble its row slice;
+not worth it while single-host training is loader-bound).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from hupr_tpu.engine.steps import TrainState
+from hupr_tpu.ops.heatmap import bce_loss, generate_target_batch
+from hupr_tpu.ops.normalize import normalize_radar_window
+
+
+def chunk_table(windows: np.ndarray, duration: int, batch_size: int,
+                pad_rows_to: int = 0) -> list[dict]:
+    """Split the dataset's (N, G) window table into per-sequence chunks of
+    `batch_size` consecutive windows.
+
+    Returns one dict per chunk:
+      lo        — first dataset frame index the chunk's windows touch
+      n_frames  — number of distinct frames (contiguous: lo .. lo+n_frames-1)
+      rel       — (max(batch_size, pad_rows_to), G) int32 gather into the
+                  shipped frame stack; padded rows repeat the last real
+                  window's row (masked out downstream)
+      row0      — dataset index of the chunk's first window
+      true_b    — number of real (unmasked) windows
+    `pad_rows_to` pads every chunk's row count up (device_put refuses a
+    sharded axis the mesh size doesn't divide, so a meshed step needs
+    batch rows padded to a device-count multiple — mesh.shard_batch's
+    padding, applied here at table-build time).
+    Frames are contiguous because window_indices clamps into the window's own
+    sequence, so the union of B consecutive rows is an integer interval.
+    """
+    n = windows.shape[0]
+    rows_out = max(batch_size, pad_rows_to)
+    chunks = []
+    for seq_start in range(0, n, duration):
+        seq_len = min(duration, n - seq_start)
+        for s in range(0, seq_len, batch_size):
+            true_b = min(batch_size, seq_len - s)
+            rows = windows[seq_start + s:seq_start + s + true_b]
+            lo = int(rows.min())
+            hi = int(rows.max())
+            rel = np.empty((rows_out, windows.shape[1]), np.int32)
+            rel[:true_b] = rows - lo
+            rel[true_b:] = rel[true_b - 1]
+            chunks.append({"lo": lo, "n_frames": hi - lo + 1, "rel": rel,
+                           "row0": seq_start + s, "true_b": true_b})
+    return chunks
+
+
+def make_chunk_train_step(model, tx, geometry=(14, 64, 256), mesh=None):
+    """Returns jitted step(state, batch, lr, alpha) -> (state, metrics),
+    metrics-compatible with steps.make_train_step (lossDecay == -1 only —
+    the chunk applicability gate guarantees it, so loss = loss1 + loss2).
+
+    batch leaves (F/B both padded to mesh-size multiples when meshed —
+    ChunkTrainLoader's pads; device_put refuses uneven shardings):
+      hori, vert    (F, C, 2, R, A, E) padded per-frame planes
+      rel           (B, G) int32 gather into the frame axis
+      jointsGroup   (B, K, 2)
+      mask          (B,) 1.0 real / 0.0 padded window rows
+
+    With `mesh`, the frame planes shard over the frame axis (the encode is
+    per-frame data parallelism) and the window batch/joints/mask shard over
+    the batch axis; GSPMD inserts the all-gather of the encoded ~14 MB maps
+    between the two, which rides ICI. Params/opt-state stay replicated.
+    """
+    num_keypoints, heatmap_size, img_size = geometry
+
+    def step(state: TrainState, batch, lr, alpha):
+        del alpha  # annealing is gated off (lossDecay == -1) in chunk mode
+        rel, mask = batch["rel"], batch["mask"]
+
+        def loss_fn(params):
+            def encode_frames(x):
+                x = normalize_radar_window(x)       # (F, C, 2, R, A, E)
+                return x[:, None]                   # frame axis as batch, G=1
+
+            ra, re_m = model.apply(
+                {"params": params}, encode_frames(batch["hori"]),
+                encode_frames(batch["vert"]), method="chirp_maps")
+            ra, re_m = ra[:, 0], re_m[:, 0]         # (F, R, A, Fc)
+            # window b = encoded frames rel[b, :]: the clamped reference
+            # window, gathered on device instead of memcpy'd on host
+            ra_w, re_w = jnp.take(ra, rel, axis=0), jnp.take(re_m, rel, axis=0)
+
+            (heatmap, gcn), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                ra_w, re_w, True, mask, method="pose_from_maps",
+                mutable=["batch_stats"])
+            targets, _ = generate_target_batch(
+                batch["jointsGroup"], num_keypoints=num_keypoints,
+                heatmap_size=heatmap_size, img_size=img_size)
+            k, h = targets.shape[1], targets.shape[2]
+            loss1 = bce_loss(heatmap.reshape(-1, k, h, h), targets, mask)
+            loss2 = bce_loss(gcn.reshape(-1, k, h, h), targets, mask)
+            return loss1 + loss2, (loss1, loss2, mutated["batch_stats"])
+
+        (loss, (loss1, loss2, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, batch_stats=new_stats,
+                                  opt_state=opt_state, step=state.step + 1)
+        return new_state, {"loss": loss, "loss1": loss1, "loss2": loss2}
+
+    if mesh is not None:
+        from hupr_tpu.parallel.mesh import batch_sharding, replicated
+        shard, rep = batch_sharding(mesh), replicated(mesh)
+        batch_sh = {"hori": shard, "vert": shard, "rel": shard,
+                    "jointsGroup": shard, "mask": shard}
+        # `rep` is a pytree PREFIX covering the whole TrainState/metrics tree
+        return jax.jit(step, donate_argnums=(0,),
+                       in_shardings=(rep, batch_sh, rep, rep),
+                       out_shardings=(rep, rep))
+    return jax.jit(step, donate_argnums=(0,))
+
+
+class ChunkTrainLoader:
+    """Chunk-batch iterator over a HuPRDataset: yields ready-to-step dicts
+    (frame planes + gather table + joints + mask), chunks shuffled with the
+    same (seed, epoch)-keyed rng scheme as data.BatchLoader so epochs are
+    reproducible. A one-chunk background prefetch overlaps the host frame
+    reads with the device step, exactly like data.BatchLoader's queue."""
+
+    def __init__(self, dataset, batch_size: int, seed: int = 0,
+                 shuffle: bool = True, prefetch: int = 2,
+                 pad_multiple: int = 1):
+        """`pad_multiple`: mesh device count — both shipped axes (frame
+        stack F, window rows B) pad up to a multiple of it so the meshed
+        step's shardings are valid (device_put refuses uneven splits)."""
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.group = dataset.num_group_frames
+        self.seed = seed
+        self.shuffle = shuffle
+        self.prefetch = prefetch
+        self._epoch = 0
+        m = max(1, int(pad_multiple))
+        self.rows_pad = batch_size + (-batch_size) % m
+        self.chunks = chunk_table(dataset.windows, dataset.duration,
+                                  batch_size, pad_rows_to=self.rows_pad)
+        f = batch_size + self.group - 1
+        self.f_pad = f + (-f) % m
+
+    @staticmethod
+    def applicable(dataset, cfg) -> bool:
+        from hupr_tpu.engine.seq_eval import sequence_groups
+        if dataset.sampling_ratio != 1:
+            return False
+        if cfg.TRAINING.lossDecay != -1:
+            return False
+        groups = sequence_groups(dataset.image_ids)
+        return all(n == dataset.duration for _, n in groups)
+
+    def __len__(self) -> int:
+        return len(self.chunks)
+
+    def _assemble(self, chunk: dict) -> dict:
+        """Host side: ONE copy of each distinct frame into the padded
+        (F_pad, C, 2, R, A, E) stacks; pad frames repeat the last real frame
+        (never gathered, but they must stay finite: a 0-cotangent VJP through
+        a NaN activation still poisons the gradient)."""
+        ds = self.dataset
+        nf = chunk["n_frames"]
+        idx = range(chunk["lo"], chunk["lo"] + nf)
+        shape = (self.f_pad, ds.num_frames, 2) + ds._inner_shape
+        out = {}
+        for key, paths in (("hori", ds.paths_hori), ("vert", ds.paths_vert)):
+            frames = ds._frames([paths[i] for i in idx])
+            arr = np.empty(shape, np.float32)
+            for g, (re, im) in enumerate(frames):
+                arr[g, :, 0] = re
+                arr[g, :, 1] = im
+            arr[nf:] = arr[nf - 1]
+            out[key] = arr
+        b, true_b, row0 = self.rows_pad, chunk["true_b"], chunk["row0"]
+        joints = np.empty((b,) + ds.joints.shape[1:], ds.joints.dtype)
+        joints[:true_b] = ds.joints[row0:row0 + true_b]
+        joints[true_b:] = joints[true_b - 1]
+        mask = (np.arange(b) < true_b).astype(np.float32)
+        out.update(rel=chunk["rel"], jointsGroup=joints, mask=mask,
+                   trueB=true_b,
+                   imageId=np.asarray(ds.image_ids[row0:row0 + true_b]))
+        return out
+
+    def _order(self) -> list[int]:
+        order = np.arange(len(self.chunks))
+        if self.shuffle:
+            np.random.default_rng((self.seed, self._epoch)).shuffle(order)
+        self._epoch += 1
+        return [int(i) for i in order]
+
+    def __iter__(self) -> Iterator[dict]:
+        import queue
+        import threading
+
+        from hupr_tpu.utils.prefetch import stop_aware_put
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        done = object()
+        failure: list = []
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for i in self._order():
+                    if not stop_aware_put(q, self._assemble(self.chunks[i]),
+                                          stop):
+                        return
+            except BaseException as exc:
+                failure.append(exc)
+            finally:
+                stop_aware_put(q, done, stop)
+
+        threading.Thread(target=worker, daemon=True).start()
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    if failure:
+                        raise failure[0]
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+def device_put_chunk(batch: dict, mesh=None) -> tuple[dict, int]:
+    """Place one assembled chunk batch on device (frame planes on the frame
+    axis, window-keyed leaves on the batch axis when meshed). Returns
+    (device_batch, true_b)."""
+    true_b = int(batch["trueB"])
+    leaves = {k: batch[k] for k in ("hori", "vert", "rel", "jointsGroup",
+                                    "mask")}
+    if mesh is not None and mesh.devices.size > 1:
+        from hupr_tpu.parallel.mesh import batch_sharding
+        shard = batch_sharding(mesh)
+        dev = {k: jax.device_put(v, shard) for k, v in leaves.items()}
+    else:
+        dev = {k: jnp.asarray(v) for k, v in leaves.items()}
+    return dev, true_b

@@ -106,6 +106,22 @@ class Runner:
                 seed=args.seed, workers=cfg.SETUP.numWorkers, **mh)
         else:
             self.train_set, self.train_loader = None, None
+        self._chunk_loader = None
+        self._chunk_step = None
+        if not args.eval and getattr(t, "chunkTrain", False):
+            from hupr_tpu.engine.chunk_train import (ChunkTrainLoader,
+                                                     make_chunk_train_step)
+            if self.n_proc > 1 or not ChunkTrainLoader.applicable(
+                    self.train_set, cfg):
+                print("==========>chunkTrain requested but inapplicable "
+                      "(needs single-host, sampling_ratio 1, lossDecay -1, "
+                      "full-duration sequences) — classic loader")
+            else:
+                self._chunk_loader = ChunkTrainLoader(
+                    self.train_set, t.batchSize, seed=args.seed,
+                    shuffle=True, pad_multiple=ndev)
+                self._chunk_step = make_chunk_train_step(
+                    self.model, self.tx, geometry, mesh=self.mesh)
         self.test_set = get_dataset("test" if args.eval else "val", cfg,
                                     args.sampling_ratio)
         self.test_loader = BatchLoader(self.test_set, cfg.TEST.batchSize,
@@ -134,7 +150,13 @@ class Runner:
         if t.warmupEpoch == -1 or self.train_loader is None:
             self.lr = t.lr
         else:
-            step_size = len(self.train_loader) * t.warmupEpoch
+            # steps/epoch under the loader that actually drives training
+            # (chunk mode has ceil(duration/B) chunks per sequence, which
+            # exceeds ceil(N/B) when duration % B != 0)
+            steps_per_epoch = len(self._chunk_loader
+                                  if self._chunk_loader is not None
+                                  else self.train_loader)
+            step_size = steps_per_epoch * t.warmupEpoch
             self.lr = t.lr / (t.warmupGrowth ** step_size)
         # loss-annealing weight; the reference's LossComputer advances it
         # BEFORE combining losses, on every computeLoss call — train AND
@@ -341,21 +363,39 @@ class Runner:
             return self._seq_eval.eval_batches(self.test_set, variables)
         return self._classic_eval_batches()
 
+    def _consume_eval_batch(self, item, loss_list, save_preds,
+                            visualization: bool, epoch: int):
+        """Host-side consumption of one eval batch: fetch results, log,
+        export keypoints, optionally plot."""
+        out, image_ids, bbox, true_b = item
+        pred2d = np.asarray(out["pred2d"])[:true_b]
+        loss = float(out["loss"])
+        self.logger.display(loss, float(out["loss2"]), true_b, epoch)
+        preds_img = pred2d * self.img_heatmap_ratio
+        if visualization:
+            from hupr_tpu.utils.plot import plot_human_pose
+            plot_human_pose(preds_img, self.cfg, self.vis_dir, image_ids)
+        self.save_keypoints(save_preds, preds_img, bbox, image_ids)
+        loss_list.append(loss)
+
     def eval(self, visualization: bool = True, epoch: int = -1) -> float:
-        loss_list = []
+        loss_list: list = []
         save_preds: list = []
         batches = self._eval_batches()   # also sets self._eval_len
         self.logger.clear(self._eval_len)
-        for out, image_ids, bbox, true_b in batches:
-            pred2d = np.asarray(out["pred2d"])[:true_b]
-            loss = float(out["loss"])
-            self.logger.display(loss, float(out["loss2"]), true_b, epoch)
-            preds_img = pred2d * self.img_heatmap_ratio
-            if visualization:
-                from hupr_tpu.utils.plot import plot_human_pose
-                plot_human_pose(preds_img, self.cfg, self.vis_dir, image_ids)
-            self.save_keypoints(save_preds, preds_img, bbox, image_ids)
-            loss_list.append(loss)
+        # result fetches convert one batch deferred (the train loop's
+        # pattern): float()/np.asarray() block on that batch's completion,
+        # so consuming batch i-1 while batch i runs overlaps the host fetch
+        # RTT + logging/export work with device compute
+        pending = None
+        for item in batches:
+            if pending is not None:
+                self._consume_eval_batch(pending, loss_list, save_preds,
+                                         visualization, epoch)
+            pending = item
+        if pending is not None:
+            self._consume_eval_batch(pending, loss_list, save_preds,
+                                     visualization, epoch)
         if self.n_proc > 1:
             # every process scored its own sequence share: write a rank
             # file, let process 0 merge + run the OKS evaluator, and agree
@@ -386,6 +426,8 @@ class Runner:
     # ---------------- train (run.py:65-86) ----------------
 
     def train(self):
+        if self._chunk_loader is not None:
+            return self._train_chunks()
         t = self.cfg.TRAINING
         for epoch in range(self.start_epoch, t.epochs):
             loss_list = []
@@ -417,3 +459,36 @@ class Runner:
             self.save_model_weight(epoch, acc_ap)
             self.save_loss_list(epoch, loss_list, "train")
         self.checkpointer.wait()  # flush the last epoch's async save
+
+    def _train_chunks(self):
+        """TRAINING.chunkTrain epoch loop: device-side window assembly
+        (engine/chunk_train.py) — same LR/annealing/logging/eval/checkpoint
+        schedule as train(), the step consumes chunk batches instead."""
+        from hupr_tpu.engine.chunk_train import device_put_chunk
+        t = self.cfg.TRAINING
+        for epoch in range(self.start_epoch, t.epochs):
+            loss_list = []
+            self.logger.clear(len(self.train_set))
+            pending = None
+            for idx_batch, batch in enumerate(self._chunk_loader):
+                device_batch, true_b = device_put_chunk(batch, self.mesh)
+                self.advance_alpha()
+                self.state, metrics = self._chunk_step(
+                    self.state, device_batch, self.lr, self.alpha)
+                if pending is not None:
+                    pm, pb = pending
+                    loss = float(pm["loss"])
+                    self.logger.display(loss, float(pm["loss2"]), pb, epoch)
+                    loss_list.append(loss)
+                pending = (metrics, true_b)
+                if idx_batch % t.lrDecayIter == 0:
+                    self.adjust_lr(epoch)
+            if pending is not None:
+                pm, pb = pending
+                loss = float(pm["loss"])
+                self.logger.display(loss, float(pm["loss2"]), pb, epoch)
+                loss_list.append(loss)
+            acc_ap = self.eval(visualization=False, epoch=epoch)
+            self.save_model_weight(epoch, acc_ap)
+            self.save_loss_list(epoch, loss_list, "train")
+        self.checkpointer.wait()
