@@ -24,13 +24,23 @@ other BASELINE configs:
   loader_samples_per_sec — host-side BatchLoader assembly rate over real
     .npy files (warm page cache, cold FrameCache, best-of-3),
     SETUP.numWorkers threads
+  epoch_samples_per_sec — the COMPOSED training loop (BatchLoader +
+    device_prefetch + train_step over real .npy files, best-of-3 epochs):
+    the end-to-end rate a real epoch sustains, host- or device-bound
+  chunk_epoch_samples_per_sec — the composed loop with TRAINING.chunkTrain
+    (engine/chunk_train.py): frame unions ship once, windows gather on
+    device — the fix for the host-bound classic loop
   seq_eval_frames_per_sec — full eval-path rate (reference config #3) in
     sequence mode (engine/seq_eval.py): real .npy reads + host->device
-    per-frame planes + device windowing/forward/loss/decode + result fetch
+    per-frame planes + device windowing/forward/loss/decode + deferred
+    result fetch (best-of-3 passes)
+  ref_frames_per_sec — the reference-equivalent NumPy preprocessing rate
+    the vs_baseline ratio divides by (per-frame best-of: robust to the
+    1-core VM's scheduling noise)
 
 Env knobs: BENCH_FRAMES, BENCH_REPS, BENCH_REF_FRAMES, BENCH_ATTN,
 BENCH_TRAIN=0, BENCH_STREAM=0, BENCH_INGEST=0, BENCH_LOADER=0,
-BENCH_SEQEVAL=0 to skip parts.
+BENCH_SEQEVAL=0, BENCH_EPOCH=0 to skip parts.
 """
 
 import json
@@ -105,13 +115,18 @@ def main():
     vert_im = rng.standard_normal(shape).astype(np.float32)
 
     # ---- reference-equivalent NumPy preprocessing throughput ----
+    # per-frame best-of: scheduling contention on this shared VM only ever
+    # SLOWS a frame down, so min(per-frame time) is the stable estimate
+    # (the single-interval version swung 4x between rounds on unchanged code)
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     from oracles import oracle_radar_cube
-    t0 = time.perf_counter()
+    best_dt = float("inf")
     for i in range(ref_frames):
+        t0 = time.perf_counter()
         oracle_radar_cube(hori_re[i] + 1j * hori_im[i])
         oracle_radar_cube(vert_re[i] + 1j * vert_im[i])
-    ref_fps = ref_frames / (time.perf_counter() - t0)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    ref_fps = 1.0 / best_dt
 
     # ---- fused TPU pipeline ----
     from hupr_tpu.models import HuPRNet
@@ -155,6 +170,7 @@ def main():
         "value": round(tpu_fps, 3),
         "unit": "frames/s (dual-radar preprocess + HuPRNet inference, 1 chip)",
         "vs_baseline": round(tpu_fps / ref_fps, 2),
+        "ref_frames_per_sec": round(ref_fps, 4),
     }
 
     # ---- ingest-inclusive serving: host->device transfer in the loop,
@@ -237,6 +253,19 @@ def main():
     if os.environ.get("BENCH_LOADER", "1") != "0":
         result["loader_samples_per_sec"] = round(_bench_loader(), 2)
 
+    # ---- composed training loop: loader + prefetch + train step per epoch
+    if os.environ.get("BENCH_TRAIN", "1") != "0" and \
+            os.environ.get("BENCH_EPOCH", "1") != "0":
+        result["epoch_samples_per_sec"] = round(
+            _bench_epoch(model, variables), 2)
+
+    # ---- chunk-mode composed training loop (TRAINING.chunkTrain): frames
+    # shipped once + device-side window gather — the host-bound path's fix
+    if os.environ.get("BENCH_TRAIN", "1") != "0" and \
+            os.environ.get("BENCH_EPOCH", "1") != "0":
+        result["chunk_epoch_samples_per_sec"] = round(
+            _bench_chunk_epoch(model, variables), 2)
+
     # ---- sequence-mode eval: the full benchmark-eval path over real files
     if os.environ.get("BENCH_SEQEVAL", "1") != "0":
         result["seq_eval_frames_per_sec"] = round(
@@ -309,11 +338,136 @@ def _bench_loader(duration: int = 24, batch: int = 8, workers: int = 4):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _bench_epoch(model, variables, duration: int = 60):
+    """The COMPOSED training loop over real .npy files: BatchLoader (threaded
+    host window assembly) + device_prefetch (transfer overlapped with
+    compute) + fused train_step, with loss fetches deferred one step exactly
+    as Runner.train runs it. Best-of-3 epochs, fresh FrameCache each.
+    This is the number a real epoch sustains — min(loader, device) rate plus
+    pipeline losses (the reference equivalent: tools/run.py:65-86)."""
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from hupr_tpu.data import BatchLoader, get_dataset
+    from hupr_tpu.engine.steps import (TrainState, make_optimizer,
+                                       make_train_step)
+    from hupr_tpu.parallel import make_mesh
+    from hupr_tpu.parallel.mesh import device_prefetch
+
+    root = tempfile.mkdtemp(prefix="hupr_bench_epoch_")
+    try:
+        cfg = _write_synthetic_dataset(root, duration)
+        b = cfg.TRAINING.batchSize  # 20, the flagship recipe
+        tx = make_optimizer(cfg)
+        t_params = jax.tree.map(jnp.array, variables["params"])
+        state = TrainState(
+            params=t_params,
+            batch_stats=jax.tree.map(jnp.array,
+                                     variables.get("batch_stats", {})),
+            opt_state=tx.init(t_params),
+            step=jnp.zeros((), jnp.int32))
+        train_step = make_train_step(model, tx)
+        mesh = make_mesh()
+
+        def one_epoch(ds, state):
+            loader = BatchLoader(ds, b, shuffle=True, seed=0,
+                                 workers=cfg.SETUP.numWorkers)
+            n, pending = 0, None
+            for dev_batch, _, true_b in device_prefetch(loader, mesh,
+                                                        pad_to=b):
+                state, metrics = train_step(state, dev_batch, 1e-4, 0.0)
+                if pending is not None:
+                    float(pending["loss"])  # deferred: Runner.train's pattern
+                pending = metrics
+                n += true_b
+            if pending is not None:
+                float(pending["loss"])
+            return n, state
+
+        _, state = one_epoch(get_dataset("train", cfg, 1), state)  # compile
+        best = 0.0
+        for _ in range(3):
+            ds = get_dataset("train", cfg, 1)  # fresh FrameCache, untimed
+            t0 = time.perf_counter()
+            n, state = one_epoch(ds, state)
+            best = max(best, n / (time.perf_counter() - t0))
+        return best
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _bench_chunk_epoch(model, variables, duration: int = 60):
+    """The composed CHUNK-mode training loop (TRAINING.chunkTrain,
+    engine/chunk_train.py) over the same on-disk dataset as _bench_epoch:
+    per-chunk frame unions ship once (~6x less host memcpy + transfer than
+    the classic loader), windows gather + MNet-encode-dedup on device. The
+    delta vs epoch_samples_per_sec is the shipped fix for the host-bound
+    train loop (BENCH_r02: loader 46 vs device 118 samples/s)."""
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from hupr_tpu.data import get_dataset
+    from hupr_tpu.engine.chunk_train import (ChunkTrainLoader,
+                                             device_put_chunk,
+                                             make_chunk_train_step)
+    from hupr_tpu.engine.steps import TrainState, make_optimizer
+
+    root = tempfile.mkdtemp(prefix="hupr_bench_chunk_")
+    try:
+        cfg = _write_synthetic_dataset(root, duration)
+        b = cfg.TRAINING.batchSize  # 20, the flagship recipe
+        d = cfg.DATASET
+        tx = make_optimizer(cfg)
+        t_params = jax.tree.map(jnp.array, variables["params"])
+        state = TrainState(
+            params=t_params,
+            batch_stats=jax.tree.map(jnp.array,
+                                     variables.get("batch_stats", {})),
+            opt_state=tx.init(t_params),
+            step=jnp.zeros((), jnp.int32))
+        step = make_chunk_train_step(
+            model, tx, (d.numKeypoints, d.heatmapSize, d.imgSize))
+
+        def one_epoch(ds, state):
+            loader = ChunkTrainLoader(ds, b, shuffle=True, seed=0)
+            n, pending = 0, None
+            for batch in loader:
+                dev, true_b = device_put_chunk(batch)
+                state, metrics = step(state, dev, 1e-4, 0.0)
+                if pending is not None:
+                    float(pending["loss"])  # deferred: Runner's pattern
+                pending = metrics
+                n += true_b
+            if pending is not None:
+                float(pending["loss"])
+            return n, state
+
+        _, state = one_epoch(get_dataset("train", cfg, 1), state)  # compile
+        best = 0.0
+        for _ in range(3):
+            ds = get_dataset("train", cfg, 1)  # fresh FrameCache, untimed
+            t0 = time.perf_counter()
+            n, state = one_epoch(ds, state)
+            best = max(best, n / (time.perf_counter() - t0))
+        return best
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _bench_seq_eval(model, variables, duration: int = 64):
     """End-to-end eval-path throughput in sequence mode: host .npy reads ->
     per-frame plane transfer -> device windowing + forward + loss + decode ->
-    per-batch result consumption. The classic per-window path is bounded by
-    loader_samples_per_sec; this is the shipped default (TEST.sequenceEval)."""
+    per-batch result consumption, with fetches deferred one batch (the
+    Runner.eval pattern: batch i's loss/pred2d convert while batch i+1 runs,
+    so the ~25-30 ms tunnel RTT overlaps compute instead of serializing).
+    The classic per-window path is bounded by loader_samples_per_sec; this
+    is the shipped default (TEST.sequenceEval). Best-of-3 passes."""
     import shutil
     import tempfile
 
@@ -326,20 +480,28 @@ def _bench_seq_eval(model, variables, duration: int = 64):
         ev = SequenceEvaluator(model, cfg)
 
         def one_pass(ds):
-            n = 0
+            n, pending = 0, None
             for out, ids, bbox, true_b in ev.eval_batches(ds, variables):
-                np.asarray(out["pred2d"])  # consume like Runner.eval
-                float(out["loss"])
+                if pending is not None:
+                    np.asarray(pending["pred2d"])  # consume like Runner.eval
+                    float(pending["loss"])
+                pending = out
                 n += true_b
+            if pending is not None:
+                np.asarray(pending["pred2d"])
+                float(pending["loss"])
             return n
 
         one_pass(get_dataset("val", cfg, 1))  # compile both programs
         # fresh dataset = cold FrameCache (real per-epoch frame reads stay
         # in the timing); construction/GT-JSON regeneration stays outside
-        ds = get_dataset("val", cfg, 1)
-        t0 = time.perf_counter()
-        n = one_pass(ds)
-        return n / (time.perf_counter() - t0)
+        best = 0.0
+        for _ in range(3):
+            ds = get_dataset("val", cfg, 1)
+            t0 = time.perf_counter()
+            n = one_pass(ds)
+            best = max(best, n / (time.perf_counter() - t0))
+        return best
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

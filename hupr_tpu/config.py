@@ -98,6 +98,15 @@ class TestConfig:
 @dataclass
 class SetupConfig:
     numWorkers: int = 4
+    # Wire format for the host->device radar planes (utils/transfer.py):
+    # "float32" (default, bit-faithful reference numerics) or "bfloat16" /
+    # "float16" — half the bytes on the host->device link for every
+    # transfer-bound path (classic loader, chunk train, sequence eval).
+    # Compute stays f32: planes are cast back at XLA program entry BEFORE
+    # normalization, so only the raw cube values are quantized (~3 decimal
+    # digits for bfloat16). Opt-in: a numerics change (near-tied argmax
+    # bins can flip) — tests/test_transfer.py bounds it.
+    transferDtype: str = "float32"
 
 
 @dataclass

@@ -302,9 +302,14 @@ class BatchLoader:
     def __init__(self, dataset: HuPRDataset, batch_size: int,
                  shuffle: bool = False, seed: int = 0, prefetch: int = 2,
                  drop_last: bool = False, workers: int = 1,
-                 process=None, padded_rows: Optional[int] = None):
+                 process=None, padded_rows: Optional[int] = None,
+                 transfer_dtype=np.float32):
+        """transfer_dtype: wire format for the hori/vert planes
+        (SETUP.transferDtype via utils/transfer.py; cast happens in the
+        loader thread so it overlaps device compute)."""
         self.dataset = dataset
         self.batch_size = batch_size
+        self.transfer_dtype = np.dtype(transfer_dtype)
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
@@ -345,6 +350,9 @@ class BatchLoader:
                 from concurrent.futures import ThreadPoolExecutor
                 self._pool = ThreadPoolExecutor(max_workers=self.workers)
             list(self._pool.map(fill, work))
+        if self.transfer_dtype != np.float32:
+            hori = hori.astype(self.transfer_dtype)
+            vert = vert.astype(self.transfer_dtype)
         return {
             "hori": hori,
             "vert": vert,

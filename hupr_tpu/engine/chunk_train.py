@@ -112,7 +112,8 @@ def make_chunk_train_step(model, tx, geometry=(14, 64, 256), mesh=None):
 
         def loss_fn(params):
             def encode_frames(x):
-                x = normalize_radar_window(x)       # (F, C, 2, R, A, E)
+                # wire format may be half-width (SETUP.transferDtype)
+                x = normalize_radar_window(x.astype(jnp.float32))
                 return x[:, None]                   # frame axis as batch, G=1
 
             ra, re_m = model.apply(
@@ -165,12 +166,15 @@ class ChunkTrainLoader:
 
     def __init__(self, dataset, batch_size: int, seed: int = 0,
                  shuffle: bool = True, prefetch: int = 2,
-                 pad_multiple: int = 1):
+                 pad_multiple: int = 1, transfer_dtype=np.float32):
         """`pad_multiple`: mesh device count — both shipped axes (frame
         stack F, window rows B) pad up to a multiple of it so the meshed
-        step's shardings are valid (device_put refuses uneven splits)."""
+        step's shardings are valid (device_put refuses uneven splits).
+        `transfer_dtype`: wire format for the frame planes
+        (SETUP.transferDtype via utils/transfer.py)."""
         self.dataset = dataset
         self.batch_size = batch_size
+        self.transfer_dtype = np.dtype(transfer_dtype)
         self.group = dataset.num_group_frames
         self.seed = seed
         self.shuffle = shuffle
@@ -213,6 +217,8 @@ class ChunkTrainLoader:
                 arr[g, :, 0] = re
                 arr[g, :, 1] = im
             arr[nf:] = arr[nf - 1]
+            if self.transfer_dtype != np.float32:
+                arr = arr.astype(self.transfer_dtype)
             out[key] = arr
         b, true_b, row0 = self.rows_pad, chunk["true_b"], chunk["row0"]
         joints = np.empty((b,) + ds.joints.shape[1:], ds.joints.dtype)

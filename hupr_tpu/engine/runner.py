@@ -99,11 +99,14 @@ class Runner:
                                         geometry)
         self._seq_eval = None   # built lazily on first sequence-mode eval
 
+        from hupr_tpu.utils.transfer import transfer_dtype
+        wire = transfer_dtype(getattr(cfg.SETUP, "transferDtype", "float32"))
         if not args.eval:
             self.train_set = get_dataset("train", cfg, args.sampling_ratio)
             self.train_loader = BatchLoader(
                 self.train_set, cfg.TRAINING.batchSize, shuffle=True,
-                seed=args.seed, workers=cfg.SETUP.numWorkers, **mh)
+                seed=args.seed, workers=cfg.SETUP.numWorkers,
+                transfer_dtype=wire, **mh)
         else:
             self.train_set, self.train_loader = None, None
         self._chunk_loader = None
@@ -119,14 +122,15 @@ class Runner:
             else:
                 self._chunk_loader = ChunkTrainLoader(
                     self.train_set, t.batchSize, seed=args.seed,
-                    shuffle=True, pad_multiple=ndev)
+                    shuffle=True, pad_multiple=ndev, transfer_dtype=wire)
                 self._chunk_step = make_chunk_train_step(
                     self.model, self.tx, geometry, mesh=self.mesh)
         self.test_set = get_dataset("test" if args.eval else "val", cfg,
                                     args.sampling_ratio)
         self.test_loader = BatchLoader(self.test_set, cfg.TEST.batchSize,
                                        shuffle=False, seed=args.seed,
-                                       workers=cfg.SETUP.numWorkers)
+                                       workers=cfg.SETUP.numWorkers,
+                                       transfer_dtype=wire)
         if self.n_proc > 1:
             from hupr_tpu.parallel import multihost
             # per-host copies of the data must describe the SAME global

@@ -75,7 +75,8 @@ def make_sequence_encoder(model, group: int, mesh=None):
     def encode(variables, hre, him, vre, vim, pad_to: int):
         def prep(re, im):
             x = jnp.stack([re, im], axis=2)          # (F, C, 2, R, A, E)
-            x = normalize_radar_window(x)
+            # wire format may be half-width (SETUP.transferDtype)
+            x = normalize_radar_window(x.astype(jnp.float32))
             return x[:, None]                        # (F, 1, C, 2, R, A, E)
 
         ra, re_m = model.apply(variables, prep(hre, him), prep(vre, vim),
@@ -147,7 +148,10 @@ class SequenceEvaluator:
     tuples equivalent to the classic device_prefetch + eval_step loop."""
 
     def __init__(self, model, cfg, mesh=None):
+        from hupr_tpu.utils.transfer import transfer_dtype
         d = cfg.DATASET
+        self.transfer_dtype = transfer_dtype(
+            getattr(cfg.SETUP, "transferDtype", "float32"))
         self.group = d.numGroupFrames
         self.duration = d.duration
         self.batch_size = cfg.TEST.batchSize
@@ -187,8 +191,11 @@ class SequenceEvaluator:
         out = []
         for paths in (dataset.paths_hori, dataset.paths_vert):
             frames = dataset._frames([paths[i] for i in idx])
-            out.append(np.stack([f[0] for f in frames]))
-            out.append(np.stack([f[1] for f in frames]))
+            for c in (0, 1):
+                p = np.stack([f[c] for f in frames])
+                if self.transfer_dtype != np.float32:
+                    p = p.astype(self.transfer_dtype)  # half-width wire
+                out.append(p)
         return out                                   # [hre, him, vre, vim]
 
     def eval_batches(self, dataset, variables,

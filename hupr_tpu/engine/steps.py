@@ -73,8 +73,10 @@ def init_state(model, cfg, rng, tx=None) -> TrainState:
 
 def _losses(model, params, batch_stats, batch, train: bool,
             geometry=(14, 64, 256)):
-    hori = normalize_radar_window(batch["hori"])
-    vert = normalize_radar_window(batch["vert"])
+    # planes may arrive in the half-width wire format (SETUP.transferDtype,
+    # utils/transfer.py); compute is always f32 from here on
+    hori = normalize_radar_window(batch["hori"].astype(jnp.float32))
+    vert = normalize_radar_window(batch["vert"].astype(jnp.float32))
     num_keypoints, heatmap_size, img_size = geometry
     targets, gt2d = generate_target_batch(
         batch["jointsGroup"], num_keypoints=num_keypoints,

@@ -41,6 +41,12 @@ def main():
     cfg.DATASET.trainName = [1, 2]
     cfg.DATASET.valName = [1, 2]
     cfg.DATASET.testName = [1, 2]
+    # reduced 32x32 geometry matching the test's make_tiny_dataset(r=32,
+    # a=32, img_size=128): same graph + collective structure as the
+    # flagship, several-fold faster concurrent cold compiles on 1 core
+    cfg.DATASET.rangeSize = cfg.DATASET.azimuthSize = 32
+    cfg.DATASET.heatmapSize = 32
+    cfg.DATASET.imgSize = 128
     # divisible by the 4 local devices: eval's per-host local mesh shards
     cfg.TEST.batchSize = 4
     args = argparse.Namespace(seed=0, dir="mh", visDir="none", eval=False,

@@ -37,8 +37,14 @@ def main():
 
     mesh = Mesh(np.asarray(jax.devices()), ("data",))
 
+    # reduced 32x32 geometry: identical graph + cross-process all-reduce
+    # structure to the flagship 64x64, several-fold faster concurrent
+    # cold compiles on this 1-core host
     cfg = Config()
     cfg.MODEL.numFilters = 2
+    cfg.DATASET.rangeSize = cfg.DATASET.azimuthSize = 32
+    cfg.DATASET.heatmapSize = 32
+    cfg.DATASET.imgSize = 128
     model = build_model(cfg)
     tx = make_optimizer(cfg)
 
@@ -50,11 +56,11 @@ def main():
 
     # each process contributes its local half of the global batch of 8
     rng = np.random.default_rng(7)  # same stream; rows split below
-    shape = (8, 8, 8, 2, 64, 64, 8)
+    shape = (8, 8, 8, 2, 32, 32, 8)
     full = {
         "hori": rng.standard_normal(shape).astype(np.float32),
         "vert": rng.standard_normal(shape).astype(np.float32),
-        "jointsGroup": rng.uniform(20, 230, (8, 14, 2)),
+        "jointsGroup": rng.uniform(10, 115, (8, 14, 2)),
     }
     lo, hi = pid * 4, pid * 4 + 4
     sharding = NamedSharding(mesh, P("data"))
@@ -62,7 +68,9 @@ def main():
                                                        global_shape=v.shape)
              for k, v in full.items()}
 
-    train_step = make_train_step(model, tx)
+    train_step = make_train_step(
+        model, tx, geometry=(cfg.DATASET.numKeypoints,
+                             cfg.DATASET.heatmapSize, cfg.DATASET.imgSize))
     state, metrics = train_step(state, batch, 1e-4, 0.0)
     loss = float(metrics["loss"])
     assert np.isfinite(loss)

@@ -14,7 +14,9 @@ from hupr_tpu.data.dataset import window_indices
 
 
 def make_tiny_dataset(root, seq_ids, duration=8, chirps=16, r=64, a=64, e=8,
-                      seed=0):
+                      seed=0, img_size=256):
+    """img_size scales the joint/bbox coordinate range (default keeps the
+    historical uniform(40, 210) draw for 256-pixel images bit-exactly)."""
     rng = np.random.default_rng(seed)
     annots = {"train": [], "val": [], "test": []}
     for seq in seq_ids:
@@ -29,7 +31,8 @@ def make_tiny_dataset(root, seq_ids, duration=8, chirps=16, r=64, a=64, e=8,
             np.save(os.path.join(root, f"single_{seq}/hori/{f:09d}.npy"), cube)
             np.save(os.path.join(root, f"single_{seq}/vert/{f:09d}.npy"),
                     cube * 0.5)
-            joints = rng.uniform(40, 210, (14, 2)).tolist()
+            joints = rng.uniform(40 * (img_size / 256),
+                                 210 * (img_size / 256), (14, 2)).tolist()
             xs = [j[0] for j in joints]; ys = [j[1] for j in joints]
             blocks.append({
                 "image": "%09d.jpg" % f,

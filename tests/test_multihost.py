@@ -30,7 +30,12 @@ def test_two_process_runner_train_eval(tmp_path):
     sys.path.insert(0, os.path.dirname(__file__))
     from test_e2e import make_tiny_dataset
 
-    make_tiny_dataset(str(tmp_path / "data"), [1, 2])
+    # 32x32 spatial (the worker's config matches): every model/pipeline
+    # dimension is parametric, so the multi-host collective structure is
+    # identical to the flagship 64x64 while both workers' concurrent
+    # XLA CPU compiles on this 1-core host take minutes less
+    make_tiny_dataset(str(tmp_path / "data"), [1, 2], r=32, a=32,
+                      img_size=128)
 
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__),
