@@ -40,7 +40,10 @@ other BASELINE configs:
 
 Env knobs: BENCH_FRAMES, BENCH_REPS, BENCH_REF_FRAMES, BENCH_ATTN,
 BENCH_TRAIN=0, BENCH_STREAM=0, BENCH_INGEST=0, BENCH_LOADER=0,
-BENCH_SEQEVAL=0, BENCH_EPOCH=0 to skip parts.
+BENCH_SEQEVAL=0, BENCH_EPOCH=0 to skip parts. BENCH_WIRE=bfloat16|float16
+runs the transfer-bound paths (epoch, chunk epoch, seq eval) with the
+half-width SETUP.transferDtype wire format — an A/B knob for measuring
+the transfer win; the driver default stays float32 (bit-faithful).
 """
 
 import json
@@ -274,6 +277,14 @@ def main():
     print(json.dumps(result))
 
 
+def _wire_dtype():
+    """BENCH_WIRE env knob -> numpy dtype for the transfer-bound benches
+    (utils/transfer.py). Default float32 = the driver-recorded bit-faithful
+    configuration; bfloat16/float16 A/B the half-width wire format."""
+    from hupr_tpu.utils.transfer import transfer_dtype
+    return transfer_dtype(os.environ.get("BENCH_WIRE", "float32"))
+
+
 def _write_synthetic_dataset(root: str, duration: int):
     """One sequence of full-size cubes + annotations under `root`."""
     from hupr_tpu.config import config_from_dict
@@ -374,7 +385,8 @@ def _bench_epoch(model, variables, duration: int = 60):
 
         def one_epoch(ds, state):
             loader = BatchLoader(ds, b, shuffle=True, seed=0,
-                                 workers=cfg.SETUP.numWorkers)
+                                 workers=cfg.SETUP.numWorkers,
+                                 transfer_dtype=_wire_dtype())
             n, pending = 0, None
             for dev_batch, _, true_b in device_prefetch(loader, mesh,
                                                         pad_to=b):
@@ -435,7 +447,8 @@ def _bench_chunk_epoch(model, variables, duration: int = 60):
             model, tx, (d.numKeypoints, d.heatmapSize, d.imgSize))
 
         def one_epoch(ds, state):
-            loader = ChunkTrainLoader(ds, b, shuffle=True, seed=0)
+            loader = ChunkTrainLoader(ds, b, shuffle=True, seed=0,
+                                      transfer_dtype=_wire_dtype())
             n, pending = 0, None
             for batch in loader:
                 dev, true_b = device_put_chunk(batch)
@@ -477,6 +490,7 @@ def _bench_seq_eval(model, variables, duration: int = 64):
     root = tempfile.mkdtemp(prefix="hupr_bench_seqeval_")
     try:
         cfg = _write_synthetic_dataset(root, duration)
+        cfg.SETUP.transferDtype = os.environ.get("BENCH_WIRE", "float32")
         ev = SequenceEvaluator(model, cfg)
 
         def one_pass(ds):
