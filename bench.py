@@ -35,15 +35,28 @@ other BASELINE configs:
     per-frame planes + device windowing/forward/loss/decode + deferred
     result fetch (best-of-3 passes)
   ref_frames_per_sec — the reference-equivalent NumPy preprocessing rate
-    the vs_baseline ratio divides by (per-frame best-of: robust to the
-    1-core VM's scheduling noise)
+    the vs_baseline ratio divides by. Definition (since r04): per-frame
+    best-of (min per-frame time — robust to this 1-core VM's scheduling
+    noise, which only ever slows a frame down), sampled until
+    >= BENCH_REF_SECONDS elapsed (r03 used best-of-2 frames; r01/r02 used
+    a 2-frame mean — cross-round vs_baseline comparisons are not
+    like-for-like across those definition changes)
+  train_tflops_per_step / train_tflops_per_sec / train_mfu_vs_bf16_peak —
+    XLA cost-model FLOPs of the compiled train step and the sustained rate
+    vs the chip's bf16 peak (BENCH_PEAK_TFLOPS, default 197 = v5e)
+  *_bf16wire — chunk-epoch / seq-eval with SETUP.transferDtype=bfloat16
+    (half the host->device bytes; the best shippable transfer-bound config)
+  e2e_frames_per_sec_bf16compute / train_ms_per_step_bf16compute —
+    MODEL.computeDtype=bfloat16 A/B (numerics: tests/test_bf16_compute.py)
+  attn_impl — the attention implementation all model-path keys measure
 
-Env knobs: BENCH_FRAMES, BENCH_REPS, BENCH_REF_FRAMES, BENCH_ATTN,
-BENCH_TRAIN=0, BENCH_STREAM=0, BENCH_INGEST=0, BENCH_LOADER=0,
-BENCH_SEQEVAL=0, BENCH_EPOCH=0 to skip parts. BENCH_WIRE=bfloat16|float16
-runs the transfer-bound paths (epoch, chunk epoch, seq eval) with the
-half-width SETUP.transferDtype wire format — an A/B knob for measuring
-the transfer win; the driver default stays float32 (bit-faithful).
+Env knobs: BENCH_FRAMES, BENCH_REPS, BENCH_REF_FRAMES, BENCH_REF_SECONDS,
+BENCH_ATTN, BENCH_PEAK_TFLOPS; BENCH_TRAIN=0, BENCH_STREAM=0,
+BENCH_INGEST=0, BENCH_LOADER=0, BENCH_SEQEVAL=0, BENCH_EPOCH=0,
+BENCH_WIRE_AB=0, BENCH_BF16=0 to skip parts. BENCH_WIRE=bfloat16|float16
+additionally runs the CLASSIC epoch path with the half-width
+SETUP.transferDtype wire format (chunk/seq-eval record both formats
+unconditionally); the driver default stays float32 (bit-faithful).
 """
 
 import json
@@ -57,19 +70,11 @@ import numpy as np
 def _init_variables_host(model, example):
     """Random variables with the right tree/shapes, built host-side with
     NumPy: bench weights are synthetic, so skip the (slow, on-device)
-    model.init forward pass."""
-    import jax
-    import jax.numpy as jnp
+    model.init forward pass. Running variances are drawn positive — a naive
+    all-leaves normal draw NaN'd every forward via rsqrt(negative var)."""
+    from hupr_tpu.utils.synthetic import synthetic_variables
 
-    shapes = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0), example, example))
-    rng = np.random.default_rng(0)
-
-    def make(leaf):
-        return jnp.asarray(
-            rng.standard_normal(leaf.shape).astype(np.float32) * 0.05)
-
-    return jax.tree.map(make, shapes)
+    return synthetic_variables(model, example.shape)
 
 
 def _wait_for_backend(attempts=4, probe_timeout=300, sleep_s=30):
@@ -108,7 +113,8 @@ def main():
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "32"))
     reps = int(os.environ.get("BENCH_REPS", "10"))
-    ref_frames = int(os.environ.get("BENCH_REF_FRAMES", "2"))
+    ref_frames = int(os.environ.get("BENCH_REF_FRAMES", "3"))
+    ref_secs = float(os.environ.get("BENCH_REF_SECONDS", "10"))
 
     rng = np.random.default_rng(0)
     shape = (n_frames, 4, 192, 256)
@@ -120,15 +126,21 @@ def main():
     # ---- reference-equivalent NumPy preprocessing throughput ----
     # per-frame best-of: scheduling contention on this shared VM only ever
     # SLOWS a frame down, so min(per-frame time) is the stable estimate
-    # (the single-interval version swung 4x between rounds on unchanged code)
+    # (the single-interval mean swung 4x between rounds on unchanged code).
+    # Frames are timed until >= BENCH_REF_SECONDS have elapsed AND at least
+    # BENCH_REF_FRAMES were measured (best-of-2 was still a 2-sample
+    # estimator of a ~4 s/frame oracle; ~10 s of samples stabilizes it).
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     from oracles import oracle_radar_cube
     best_dt = float("inf")
-    for i in range(ref_frames):
+    i, t_ref = 0, time.perf_counter()
+    while i < ref_frames or time.perf_counter() - t_ref < ref_secs:
+        j = i % n_frames
         t0 = time.perf_counter()
-        oracle_radar_cube(hori_re[i] + 1j * hori_im[i])
-        oracle_radar_cube(vert_re[i] + 1j * vert_im[i])
+        oracle_radar_cube(hori_re[j] + 1j * hori_im[j])
+        oracle_radar_cube(vert_re[j] + 1j * vert_im[j])
         best_dt = min(best_dt, time.perf_counter() - t0)
+        i += 1
     ref_fps = 1.0 / best_dt
 
     # ---- fused TPU pipeline ----
@@ -155,8 +167,9 @@ def main():
         pred2d, maxvals = out
         return float(np.asarray(maxvals).sum())
 
-    # warmup/compile
-    fetch(run(*dev))
+    # warmup/compile (+ guard: a NaN forward times the same but measures
+    # a garbage program — this bit round 1-3 via negative synthetic BN vars)
+    assert np.isfinite(fetch(run(*dev))), "e2e forward non-finite"
 
     # dispatch is async and a single device executes enqueued programs in
     # order, so fetching the last rep's output synchronizes the whole run —
@@ -174,6 +187,10 @@ def main():
         "unit": "frames/s (dual-radar preprocess + HuPRNet inference, 1 chip)",
         "vs_baseline": round(tpu_fps / ref_fps, 2),
         "ref_frames_per_sec": round(ref_fps, 4),
+        # the attention implementation every model-path key below measures
+        # (the parity config config/mscsa_prgcn.yaml ships attention: xla;
+        # the TPU-tuned mscsa_prgcn_tpu.yaml and this bench default pallas)
+        "attn_impl": attn,
     }
 
     # ---- ingest-inclusive serving: host->device transfer in the loop,
@@ -225,7 +242,7 @@ def main():
         }
         train_step = make_train_step(model, tx)
         state, metrics = train_step(state, batch, 1e-4, 0.0)  # compile
-        float(metrics["loss"])
+        assert np.isfinite(float(metrics["loss"])), "train loss non-finite"
         train_reps = max(3, reps // 2)
         t0 = time.perf_counter()
         for _ in range(train_reps):
@@ -234,6 +251,20 @@ def main():
         dt = (time.perf_counter() - t0) / train_reps
         result["train_ms_per_step"] = round(dt * 1000.0, 2)
         result["train_samples_per_sec"] = round(b / dt, 2)
+
+        # FLOPs accounting: XLA's own cost model for the compiled step is
+        # the efficiency denominator ("is N ms/step good?"). MFU is quoted
+        # against the chip's bf16 MXU peak (v5e / v5 lite: 197 TFLOP/s;
+        # BENCH_PEAK_TFLOPS overrides for other chips) — deliberately the
+        # HARSH denominator: the step runs exact-torch-semantics f32 convs,
+        # so this number prices the remaining bf16 headroom instead of
+        # hiding it behind an f32 peak.
+        flops = _compiled_flops(train_step, state, batch)
+        if flops > 0:
+            peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
+            result["train_tflops_per_step"] = round(flops / 1e12, 3)
+            result["train_tflops_per_sec"] = round(flops / dt / 1e12, 2)
+            result["train_mfu_vs_bf16_peak"] = round(flops / dt / peak, 4)
 
     # ---- streaming latency: fused per-frame step, device-resident inputs,
     # including the per-frame packed (K, 3) result fetch
@@ -263,18 +294,70 @@ def main():
             _bench_epoch(model, variables), 2)
 
     # ---- chunk-mode composed training loop (TRAINING.chunkTrain): frames
-    # shipped once + device-side window gather — the host-bound path's fix
+    # shipped once + device-side window gather — the host-bound path's fix.
+    # Recorded BOTH wire formats: f32 (bit-faithful default) and the
+    # half-width SETUP.transferDtype=bfloat16 knob, so the best shippable
+    # configuration of the transfer-bound paths is in the artifact of record
+    # (BENCH_WIRE_AB=0 skips the bf16-wire passes).
+    wire_ab = os.environ.get("BENCH_WIRE_AB", "1") != "0"
     if os.environ.get("BENCH_TRAIN", "1") != "0" and \
             os.environ.get("BENCH_EPOCH", "1") != "0":
         result["chunk_epoch_samples_per_sec"] = round(
-            _bench_chunk_epoch(model, variables), 2)
+            _bench_chunk_epoch(model, variables, wire=_wire_dtype()), 2)
+        if wire_ab:
+            from hupr_tpu.utils.transfer import transfer_dtype
+            result["chunk_epoch_samples_per_sec_bf16wire"] = round(
+                _bench_chunk_epoch(model, variables,
+                                   wire=transfer_dtype("bfloat16")), 2)
 
     # ---- sequence-mode eval: the full benchmark-eval path over real files
     if os.environ.get("BENCH_SEQEVAL", "1") != "0":
         result["seq_eval_frames_per_sec"] = round(
-            _bench_seq_eval(model, variables), 2)
+            _bench_seq_eval(model, variables, wire_name=os.environ.get(
+                "BENCH_WIRE", "float32")), 2)
+        if wire_ab:
+            result["seq_eval_frames_per_sec_bf16wire"] = round(
+                _bench_seq_eval(model, variables, wire_name="bfloat16"), 2)
+
+    # ---- MODEL.computeDtype=bfloat16 A/B: same params, matmul/conv compute
+    # in bf16 (models/hupr.py dtype). Numerics are guarded by
+    # tests/test_bf16_compute.py; this records whether the knob pays on the
+    # chip (DEVNOTES: XLA already runs several f32 convs as bf16 passes, so
+    # the expected win is small — measured here instead of vibes).
+    if os.environ.get("BENCH_BF16", "1") != "0":
+        import jax.numpy as jnp
+
+        model_bf16 = HuPRNet(num_filters=32, attn_impl=attn,
+                             dtype=jnp.bfloat16)
+        run16 = make_e2e_infer(model_bf16, variables, duration=n_frames)
+        fetch(run16(*dev))  # compile
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(reps):
+            out = run16(*dev)
+        fetch(out)
+        result["e2e_frames_per_sec_bf16compute"] = round(
+            (reps * n_frames) / (time.perf_counter() - t0), 3)
+        if os.environ.get("BENCH_TRAIN", "1") != "0":
+            result["train_ms_per_step_bf16compute"] = round(
+                _bench_train_bf16(model_bf16, variables, reps), 2)
 
     print(json.dumps(result))
+
+
+def _compiled_flops(step_fn, state, batch) -> float:
+    """Total FLOPs of one compiled train step per XLA's cost analysis.
+    lower().compile() re-produces the identical HLO the jit call compiled,
+    so the persistent cache absorbs the cost; returns 0.0 if the backend
+    doesn't expose a cost model (never blocks the bench)."""
+    try:
+        ca = step_fn.lower(state, batch, 1e-4, 0.0).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):   # older jax returns [dict]
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception as exc:
+        print(f"bench: cost_analysis unavailable: {exc}", file=sys.stderr)
+        return 0.0
 
 
 def _wire_dtype():
@@ -283,6 +366,44 @@ def _wire_dtype():
     configuration; bfloat16/float16 A/B the half-width wire format."""
     from hupr_tpu.utils.transfer import transfer_dtype
     return transfer_dtype(os.environ.get("BENCH_WIRE", "float32"))
+
+
+def _bench_train_bf16(model_bf16, variables, reps: int) -> float:
+    """ms/step of the flagship batch-20 train step with
+    MODEL.computeDtype=bfloat16 (same f32 params; matmul/conv compute in
+    bf16). The A/B partner of train_ms_per_step."""
+    import jax
+    import jax.numpy as jnp
+
+    from hupr_tpu.config import Config
+    from hupr_tpu.engine.steps import (TrainState, make_optimizer,
+                                       make_train_step)
+
+    cfg = Config()
+    tx = make_optimizer(cfg)
+    params = jax.tree.map(jnp.array, variables["params"])
+    state = TrainState(
+        params=params,
+        batch_stats=jax.tree.map(jnp.array, variables.get("batch_stats", {})),
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32))
+    rng = np.random.default_rng(1)
+    b = cfg.TRAINING.batchSize
+    tshape = (b, 8, 8, 2, 64, 64, 8)
+    batch = {
+        "hori": jax.device_put(rng.standard_normal(tshape).astype(np.float32)),
+        "vert": jax.device_put(rng.standard_normal(tshape).astype(np.float32)),
+        "jointsGroup": jax.device_put(rng.uniform(20, 230, (b, 14, 2))),
+    }
+    step = make_train_step(model_bf16, tx)
+    state, metrics = step(state, batch, 1e-4, 0.0)  # compile
+    float(metrics["loss"])
+    train_reps = max(3, reps // 2)
+    t0 = time.perf_counter()
+    for _ in range(train_reps):
+        state, metrics = step(state, batch, 1e-4, 0.0)
+    float(metrics["loss"])
+    return (time.perf_counter() - t0) / train_reps * 1000.0
 
 
 def _write_synthetic_dataset(root: str, duration: int):
@@ -411,7 +532,8 @@ def _bench_epoch(model, variables, duration: int = 60):
         shutil.rmtree(root, ignore_errors=True)
 
 
-def _bench_chunk_epoch(model, variables, duration: int = 60):
+def _bench_chunk_epoch(model, variables, duration: int = 60,
+                       wire=np.float32):
     """The composed CHUNK-mode training loop (TRAINING.chunkTrain,
     engine/chunk_train.py) over the same on-disk dataset as _bench_epoch:
     per-chunk frame unions ship once (~6x less host memcpy + transfer than
@@ -448,7 +570,7 @@ def _bench_chunk_epoch(model, variables, duration: int = 60):
 
         def one_epoch(ds, state):
             loader = ChunkTrainLoader(ds, b, shuffle=True, seed=0,
-                                      transfer_dtype=_wire_dtype())
+                                      transfer_dtype=wire)
             n, pending = 0, None
             for batch in loader:
                 dev, true_b = device_put_chunk(batch)
@@ -473,7 +595,8 @@ def _bench_chunk_epoch(model, variables, duration: int = 60):
         shutil.rmtree(root, ignore_errors=True)
 
 
-def _bench_seq_eval(model, variables, duration: int = 64):
+def _bench_seq_eval(model, variables, duration: int = 64,
+                    wire_name: str = "float32"):
     """End-to-end eval-path throughput in sequence mode: host .npy reads ->
     per-frame plane transfer -> device windowing + forward + loss + decode ->
     per-batch result consumption, with fetches deferred one batch (the
@@ -490,7 +613,7 @@ def _bench_seq_eval(model, variables, duration: int = 64):
     root = tempfile.mkdtemp(prefix="hupr_bench_seqeval_")
     try:
         cfg = _write_synthetic_dataset(root, duration)
-        cfg.SETUP.transferDtype = os.environ.get("BENCH_WIRE", "float32")
+        cfg.SETUP.transferDtype = wire_name
         ev = SequenceEvaluator(model, cfg)
 
         def one_pass(ds):

@@ -101,30 +101,32 @@ class Runner:
 
         from hupr_tpu.utils.transfer import transfer_dtype
         wire = transfer_dtype(getattr(cfg.SETUP, "transferDtype", "float32"))
+        self.train_set, self.train_loader = None, None
+        self._chunk_loader, self._chunk_step = None, None
         if not args.eval:
             self.train_set = get_dataset("train", cfg, args.sampling_ratio)
-            self.train_loader = BatchLoader(
-                self.train_set, cfg.TRAINING.batchSize, shuffle=True,
-                seed=args.seed, workers=cfg.SETUP.numWorkers,
-                transfer_dtype=wire, **mh)
-        else:
-            self.train_set, self.train_loader = None, None
-        self._chunk_loader = None
-        self._chunk_step = None
-        if not args.eval and getattr(t, "chunkTrain", False):
-            from hupr_tpu.engine.chunk_train import (ChunkTrainLoader,
-                                                     make_chunk_train_step)
-            if self.n_proc > 1 or not ChunkTrainLoader.applicable(
-                    self.train_set, cfg):
-                print("==========>chunkTrain requested but inapplicable "
-                      "(needs single-host, sampling_ratio 1, lossDecay -1, "
-                      "full-duration sequences) — classic loader")
-            else:
-                self._chunk_loader = ChunkTrainLoader(
-                    self.train_set, t.batchSize, seed=args.seed,
-                    shuffle=True, pad_multiple=ndev, transfer_dtype=wire)
-                self._chunk_step = make_chunk_train_step(
-                    self.model, self.tx, geometry, mesh=self.mesh)
+            if getattr(t, "chunkTrain", False):
+                from hupr_tpu.engine.chunk_train import (
+                    ChunkTrainLoader, make_chunk_train_step)
+                if self.n_proc > 1 or not ChunkTrainLoader.applicable(
+                        self.train_set, cfg):
+                    print("==========>chunkTrain requested but inapplicable "
+                          "(needs single-host, sampling_ratio 1, lossDecay "
+                          "-1, full-duration sequences) — classic loader")
+                else:
+                    self._chunk_loader = ChunkTrainLoader(
+                        self.train_set, t.batchSize, seed=args.seed,
+                        shuffle=True, pad_multiple=ndev, transfer_dtype=wire)
+                    self._chunk_step = make_chunk_train_step(
+                        self.model, self.tx, geometry, mesh=self.mesh)
+            if self._chunk_loader is None:
+                # only when chunk mode does NOT drive training: building both
+                # loaders would waste a thread pool and log a misleading
+                # steps/epoch count
+                self.train_loader = BatchLoader(
+                    self.train_set, cfg.TRAINING.batchSize, shuffle=True,
+                    seed=args.seed, workers=cfg.SETUP.numWorkers,
+                    transfer_dtype=wire, **mh)
         self.test_set = get_dataset("test" if args.eval else "val", cfg,
                                     args.sampling_ratio)
         self.test_loader = BatchLoader(self.test_set, cfg.TEST.batchSize,
@@ -149,18 +151,17 @@ class Runner:
             # not after a full epoch of pod time
             self._require_sequence_eval()
 
+        # steps/epoch under the loader that actually drives training (chunk
+        # mode has ceil(duration/B) chunks per sequence, which exceeds
+        # ceil(N/B) when duration % B != 0); None in eval mode
+        driving_loader = (self._chunk_loader if self._chunk_loader is not None
+                          else self.train_loader)
         # warmup LR back-computation (run.py:30-32); eval mode has no train
         # loader and never steps the optimizer, so plain lr suffices there
-        if t.warmupEpoch == -1 or self.train_loader is None:
+        if t.warmupEpoch == -1 or driving_loader is None:
             self.lr = t.lr
         else:
-            # steps/epoch under the loader that actually drives training
-            # (chunk mode has ceil(duration/B) chunks per sequence, which
-            # exceeds ceil(N/B) when duration % B != 0)
-            steps_per_epoch = len(self._chunk_loader
-                                  if self._chunk_loader is not None
-                                  else self.train_loader)
-            step_size = steps_per_epoch * t.warmupEpoch
+            step_size = len(driving_loader) * t.warmupEpoch
             self.lr = t.lr / (t.warmupGrowth ** step_size)
         # loss-annealing weight; the reference's LossComputer advances it
         # BEFORE combining losses, on every computeLoss call — train AND
@@ -169,8 +170,10 @@ class Runner:
 
         self.logger = Logger()
         self.checkpointer = AsyncCheckpointer()
-        if not args.eval:
-            print("==========>Train set size:", len(self.train_loader))
+        if driving_loader is not None:
+            kind = "chunk steps" if self._chunk_loader is not None \
+                else "batches"
+            print(f"==========>Train set size: {len(driving_loader)} {kind}")
         print("==========>Test set size:", len(self.test_loader))
 
     # ---------------- LR schedule (base.py:66-72) ----------------

@@ -13,6 +13,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: XLA CPU compiles of the full train/eval programs
-# dominate suite time; repeat runs on the same machine reuse them
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# dominate suite time; repeat runs on the same machine reuse them. The dir
+# is machine-keyed — the CPU AOT cache rejects entries from a different
+# machine type with an ERROR wall per program (hupr_tpu/utils/cache.py)
+from hupr_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(jax, "/tmp/jax_test_cache")

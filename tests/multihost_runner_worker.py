@@ -20,8 +20,10 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from hupr_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(jax, "/tmp/jax_test_cache")
 
 
 def main():

@@ -91,6 +91,26 @@ GOLDEN_SEQ = [0.20735502121640736, 1.0, 0.0, -1.0, 0.22574257425742575,
 GOLDEN_CLASSIC = [0.20735502121640736, 1.0, 0.0, -1.0, 0.22574257425742575,
                   0.225, 1.0, 0.0, -1.0, 0.225]
 
+# Two-tier check so a failure is diagnosable: the LOOSE tier failing means
+# the protocol itself drifted (decode/export/OKS/matching — a real bug);
+# the EXACT tier alone failing means only the float bits moved, which a
+# jax/XLA upgrade or different CPU codegen can legitimately do — regenerate
+# the pins with `python tests/test_golden_ap.py` after ruling out real
+# drift (DEVNOTES.md "golden regeneration").
+PROTOCOL_ATOL = 5e-3
+
+
+def _check_golden(stats, golden):
+    np.testing.assert_allclose(
+        stats, golden, rtol=0, atol=PROTOCOL_ATOL,
+        err_msg="PROTOCOL DRIFT: the eval pipeline's AP stats moved beyond "
+                "float-noise — investigate before touching the pins")
+    np.testing.assert_allclose(
+        stats, golden, rtol=0, atol=1e-12,
+        err_msg="bit-level drift only (protocol tier passed): likely a "
+                "toolchain change — regenerate pins via "
+                "`python tests/test_golden_ap.py` after review")
+
 
 @pytest.mark.slow
 def test_golden_ap_sequence_eval(tmp_path):
@@ -98,7 +118,7 @@ def test_golden_ap_sequence_eval(tmp_path):
     assert cfg.TEST.sequenceEval          # the shipped default path
     stats = _run_eval(tmp_path, cfg)
     assert 0.0 < stats[0] < 1.0           # discriminating, not degenerate
-    np.testing.assert_allclose(stats, GOLDEN_SEQ, rtol=0, atol=1e-12)
+    _check_golden(stats, GOLDEN_SEQ)
 
 
 @pytest.mark.slow
@@ -106,7 +126,7 @@ def test_golden_ap_classic_eval(tmp_path):
     cfg = _golden_workspace(tmp_path)
     cfg.TEST.sequenceEval = False         # the reference's DataLoader shape
     stats = _run_eval(tmp_path, cfg)
-    np.testing.assert_allclose(stats, GOLDEN_CLASSIC, rtol=0, atol=1e-12)
+    _check_golden(stats, GOLDEN_CLASSIC)
 
 
 if __name__ == "__main__":
