@@ -30,6 +30,10 @@ other BASELINE configs:
   chunk_epoch_samples_per_sec — the composed loop with TRAINING.chunkTrain
     (engine/chunk_train.py): frame unions ship once, windows gather on
     device — the fix for the host-bound classic loop
+  adc_epoch_samples_per_sec — the composed FUSED-ADC training loop
+    (TRAINING.chunkSource: adc): raw int16 stream slices memmap'd straight
+    from capture .bin files, decode + DSP + train in one XLA program — the
+    north-star "fused preprocessing -> train" config, no .npy hop at all
   seq_eval_frames_per_sec — full eval-path rate (reference config #3) in
     sequence mode (engine/seq_eval.py): real .npy reads + host->device
     per-frame planes + device windowing/forward/loss/decode + deferred
@@ -310,6 +314,15 @@ def main():
                 _bench_chunk_epoch(model, variables,
                                    wire=transfer_dtype("bfloat16")), 2)
 
+    # ---- FUSED ADC composed training loop (TRAINING.chunkSource: adc):
+    # raw int16 stream slices straight from capture .bin files, decode +
+    # DSP + train inside one XLA program — no .npy hop at all. ~2.7x fewer
+    # wire bytes than f32 cube planes; int16 is the sensor-native floor.
+    if os.environ.get("BENCH_TRAIN", "1") != "0" and \
+            os.environ.get("BENCH_EPOCH", "1") != "0":
+        result["adc_epoch_samples_per_sec"] = round(
+            _bench_adc_epoch(model, variables), 2)
+
     # ---- sequence-mode eval: the full benchmark-eval path over real files
     if os.environ.get("BENCH_SEQEVAL", "1") != "0":
         result["seq_eval_frames_per_sec"] = round(
@@ -406,8 +419,10 @@ def _bench_train_bf16(model_bf16, variables, reps: int) -> float:
     return (time.perf_counter() - t0) / train_reps * 1000.0
 
 
-def _write_synthetic_dataset(root: str, duration: int):
-    """One sequence of full-size cubes + annotations under `root`."""
+def _write_synthetic_dataset(root: str, duration: int, cubes: bool = True):
+    """One sequence of full-size cubes + annotations under `root`
+    (cubes=False writes only the annotations — the fused ADC bench never
+    touches .npy cubes)."""
     from hupr_tpu.config import config_from_dict
 
     rng = np.random.default_rng(0)
@@ -416,12 +431,13 @@ def _write_synthetic_dataset(root: str, duration: int):
         os.makedirs(os.path.join(root, "single_1", view), exist_ok=True)
     blocks = []
     for f in range(duration):
-        cube = (rng.standard_normal((16, 64, 64, 8))
-                + 1j * rng.standard_normal((16, 64, 64, 8))
-                ).astype(np.complex64)
-        for view in ("hori", "vert"):
-            np.save(os.path.join(root, f"single_1/{view}/{f:09d}.npy"),
-                    cube)
+        if cubes:
+            cube = (rng.standard_normal((16, 64, 64, 8))
+                    + 1j * rng.standard_normal((16, 64, 64, 8))
+                    ).astype(np.complex64)
+            for view in ("hori", "vert"):
+                np.save(os.path.join(root, f"single_1/{view}/{f:09d}.npy"),
+                        cube)
         joints = rng.uniform(40, 210, (14, 2)).tolist()
         xs = [j[0] for j in joints]
         ys = [j[1] for j in joints]
@@ -587,6 +603,82 @@ def _bench_chunk_epoch(model, variables, duration: int = 60,
         best = 0.0
         for _ in range(3):
             ds = get_dataset("train", cfg, 1)  # fresh FrameCache, untimed
+            t0 = time.perf_counter()
+            n, state = one_epoch(ds, state)
+            best = max(best, n / (time.perf_counter() - t0))
+        return best
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _bench_adc_epoch(model, variables, duration: int = 60):
+    """The composed FUSED-ADC training loop: per-chunk raw int16 stream
+    slices memmap'd straight from synthetic capture .bin files
+    (data/adc.py), decode + DSP + MNet dedup + window gather + train step
+    in one XLA program (engine/chunk_train.make_adc_frame_prep). The delta
+    vs chunk_epoch_samples_per_sec is the last .npy hop being deleted:
+    fewer wire bytes (int16 sensor format) and zero offline preprocessing."""
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from hupr_tpu.data import get_dataset
+    from hupr_tpu.data.adc import ADCFrameSource
+    from hupr_tpu.engine.chunk_train import (ADCChunkLoader,
+                                             device_put_chunk,
+                                             make_adc_chunk_train_step)
+    from hupr_tpu.engine.steps import TrainState, make_optimizer
+    from hupr_tpu.ops.dsp import RadarParams
+
+    root = tempfile.mkdtemp(prefix="hupr_bench_adc_")
+    try:
+        cfg = _write_synthetic_dataset(root, duration, cubes=False)
+        rp = RadarParams()
+        adc_root = os.path.join(root, "raw")
+        cfg.DATASET.adcDir = adc_root
+        rng = np.random.default_rng(0)
+        s = 2 * rp.num_rx * rp.num_chirp * rp.num_adc_samples
+        for view in ("hori", "vert"):
+            d = os.path.join(adc_root, "single_1", view)
+            os.makedirs(d, exist_ok=True)
+            rng.integers(-300, 300, (duration * s,)).astype(
+                np.int16).tofile(os.path.join(d, "adc_data.bin"))
+
+        b = cfg.TRAINING.batchSize  # 20, the flagship recipe
+        dd = cfg.DATASET
+        tx = make_optimizer(cfg)
+        t_params = jax.tree.map(jnp.array, variables["params"])
+        state = TrainState(
+            params=t_params,
+            batch_stats=jax.tree.map(jnp.array,
+                                     variables.get("batch_stats", {})),
+            opt_state=tx.init(t_params),
+            step=jnp.zeros((), jnp.int32))
+        step = make_adc_chunk_train_step(
+            model, tx, (dd.numKeypoints, dd.heatmapSize, dd.imgSize),
+            radar_params=rp, num_frames=dd.numFrames)
+        src = ADCFrameSource(adc_root, rp)
+
+        def one_epoch(ds, state):
+            loader = ADCChunkLoader(ds, b, src, shuffle=True, seed=0)
+            n, pending = 0, None
+            for batch in loader:
+                dev, true_b = device_put_chunk(batch)
+                state, metrics = step(state, dev, 1e-4, 0.0)
+                if pending is not None:
+                    float(pending["loss"])  # deferred: Runner's pattern
+                pending = metrics
+                n += true_b
+            if pending is not None:
+                float(pending["loss"])
+            return n, state
+
+        _, state = one_epoch(get_dataset("train", cfg, 1), state)  # compile
+        best = 0.0
+        for _ in range(3):
+            ds = get_dataset("train", cfg, 1)
             t0 = time.perf_counter()
             n, state = one_epoch(ds, state)
             best = max(best, n / (time.perf_counter() - t0))

@@ -32,6 +32,33 @@ class DatasetConfig:
     numGroupFrames: int = 8     # temporal window of frames
     numChirps: int = 16         # chirps stored per frame (center-16 of 64)
     dataDir: str = "data/HuPR"
+    # Root of the RAW capture files (`single_N/{hori,vert}/adc_data.bin`,
+    # the preprocessing CLI's input layout — e.g.
+    # "preprocessing/raw_data/iwr1843/HuPR"). Consumed by fused ADC
+    # training (TRAINING.chunkSource: adc); empty = disabled.
+    adcDir: str = ""
+    # Field overrides for ops/dsp.RadarParams (the capture geometry the
+    # device-side DSP assumes). Empty = the IWR1843 defaults, which match
+    # the flagship 64x64x8 cube geometry.
+    adcParams: dict = field(default_factory=dict)
+
+    def radar_params(self):
+        """RadarParams for fused ADC paths; validated against the cube
+        geometry this config declares (the DSP output must be the shape the
+        .npy cubes would have had)."""
+        from hupr_tpu.ops.dsp import RadarParams
+        rp = RadarParams(**self.adcParams)
+        if rp.num_angle_bins != self.azimuthSize \
+                or rp.num_angle_bins != self.rangeSize \
+                or rp.num_kept_chirps != self.numChirps \
+                or rp.num_ele_bins != self.elevationSize:
+            raise ValueError(
+                f"DATASET.adcParams geometry (angle {rp.num_angle_bins}, "
+                f"chirps {rp.num_kept_chirps}, elev {rp.num_ele_bins}) does "
+                f"not produce this config's cube shape ({self.rangeSize}, "
+                f"{self.azimuthSize}, {self.numChirps}, "
+                f"{self.elevationSize})")
+        return rp
     testName: List[int] = field(default_factory=list)
     valName: List[int] = field(default_factory=list)
     trainName: List[int] = field(default_factory=list)
@@ -79,6 +106,16 @@ class TrainingConfig:
     # to the classic loader when inapplicable (sampling_ratio != 1,
     # lossDecay != -1, ragged sequences, multi-host).
     chunkTrain: bool = False
+    # What the chunk loader ships per frame (chunkTrain only):
+    #   "cubes" — center-chirp planes of the preprocessed .npy radar cubes
+    #             (the reference's stored format)
+    #   "adc"   — raw int16 DCA1000 stream slices straight from the capture
+    #             .bin files (DATASET.adcDir); decode + DSP run inside the
+    #             train step (engine/chunk_train.make_adc_frame_prep) — the
+    #             fused preprocessing->train path, no .npy hop. Falls back
+    #             to "cubes" (with a printed notice) when the captures are
+    #             missing/incomplete.
+    chunkSource: str = "cubes"
 
 
 @dataclass

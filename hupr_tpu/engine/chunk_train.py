@@ -33,6 +33,15 @@ full-duration sequences (the reference's `index % duration` clamp only
 defines in-range windows then). Multi-host runs keep the classic loader
 (each process would need a frame-halo protocol to assemble its row slice;
 not worth it while single-host training is loader-bound).
+
+FUSED ADC mode (TRAINING.chunkSource: adc) goes one step further: instead
+of center-chirp cube planes read from preprocessed .npy files, the host
+ships each frame's raw int16 DCA1000 stream slice straight from the
+capture .bin (data/adc.py) and the step runs decode + the full radar-cube
+DSP on device before the MNet encode — the north-star "fused preprocessing
+-> train" configuration (BASELINE config #5): no offline .npy hop, ~2.7x
+fewer wire bytes than f32 planes, per-step gradients equal to the cube-fed
+step (tests/test_adc_train.py).
 """
 
 from __future__ import annotations
@@ -87,35 +96,67 @@ def chunk_table(windows: np.ndarray, duration: int, batch_size: int,
     return chunks
 
 
-def make_chunk_train_step(model, tx, geometry=(14, 64, 256), mesh=None):
+def _cube_frame_prep(x):
+    """Default per-frame prep: shipped center-chirp cube planes
+    (F, C, 2, R, A, E), possibly in the half-width wire format
+    (SETUP.transferDtype) -> normalized model input (F, 1, C, 2, R, A, E)."""
+    x = normalize_radar_window(x.astype(jnp.float32))
+    return x[:, None]                               # frame axis as batch, G=1
+
+
+def make_adc_frame_prep(radar_params=None, num_frames: int = 8):
+    """Per-frame prep for FUSED ADC training: shipped raw int16 DCA1000
+    stream slices (F, frame_samples) -> device-side decode (ops/dsp.
+    decode_dca1000) -> radar cube DSP (radar_cube_single_frame, bit-exact
+    vs the reference's generateHeatmap) -> center-chirp slice + normalize
+    (engine/pipeline.cube_chirp_input). Deletes the offline .npy hop
+    (reference preprocessing/process_iwr1843.py:180-196) from the train
+    path entirely."""
+    import jax
+
+    from hupr_tpu.engine.pipeline import cube_chirp_input
+    from hupr_tpu.ops.dsp import (RadarParams, decode_dca1000,
+                                  radar_cube_single_frame)
+
+    rp = radar_params if radar_params is not None else RadarParams()
+
+    def prep(x):                                    # (F, S) int16
+        frames = jax.vmap(lambda r: decode_dca1000(r, rp))(x)
+        cubes = jax.vmap(lambda f: radar_cube_single_frame(f, rp))(frames)
+        return cube_chirp_input(jnp.real(cubes), jnp.imag(cubes), num_frames)
+
+    return prep
+
+
+def make_chunk_train_step(model, tx, geometry=(14, 64, 256), mesh=None,
+                          frame_prep=None):
     """Returns jitted step(state, batch, lr, alpha) -> (state, metrics),
     metrics-compatible with steps.make_train_step (lossDecay == -1 only —
     the chunk applicability gate guarantees it, so loss = loss1 + loss2).
 
     batch leaves (F/B both padded to mesh-size multiples when meshed —
     ChunkTrainLoader's pads; device_put refuses uneven shardings):
-      hori, vert    (F, C, 2, R, A, E) padded per-frame planes
+      hori, vert    per-frame payloads consumed by `frame_prep` — cube
+                    planes (F, C, 2, R, A, E) by default, raw int16 ADC
+                    stream slices (F, S) with make_adc_frame_prep
       rel           (B, G) int32 gather into the frame axis
       jointsGroup   (B, K, 2)
       mask          (B,) 1.0 real / 0.0 padded window rows
 
-    With `mesh`, the frame planes shard over the frame axis (the encode is
-    per-frame data parallelism) and the window batch/joints/mask shard over
-    the batch axis; GSPMD inserts the all-gather of the encoded ~14 MB maps
-    between the two, which rides ICI. Params/opt-state stay replicated.
+    With `mesh`, the frame payloads shard over the frame axis (the
+    prep+encode are per-frame data parallelism) and the window batch/joints/
+    mask shard over the batch axis; GSPMD inserts the all-gather of the
+    encoded ~14 MB maps between the two, which rides ICI. Params/opt-state
+    stay replicated.
     """
     num_keypoints, heatmap_size, img_size = geometry
+    encode_frames = frame_prep if frame_prep is not None else _cube_frame_prep
 
     def step(state: TrainState, batch, lr, alpha):
         del alpha  # annealing is gated off (lossDecay == -1) in chunk mode
         rel, mask = batch["rel"], batch["mask"]
 
         def loss_fn(params):
-            def encode_frames(x):
-                # wire format may be half-width (SETUP.transferDtype)
-                x = normalize_radar_window(x.astype(jnp.float32))
-                return x[:, None]                   # frame axis as batch, G=1
-
             ra, re_m = model.apply(
                 {"params": params}, encode_frames(batch["hori"]),
                 encode_frames(batch["vert"]), method="chirp_maps")
@@ -270,6 +311,59 @@ class ChunkTrainLoader:
                 yield item
         finally:
             stop.set()
+
+
+def make_adc_chunk_train_step(model, tx, geometry=(14, 64, 256), mesh=None,
+                              radar_params=None, num_frames: int = 8):
+    """Chunk train step over raw int16 ADC stream slices: device-side
+    decode + DSP + normalize + encode + window gather + loss + Adam in ONE
+    XLA program (TRAINING.chunkSource: adc). Gradients equal the cube-fed
+    chunk step's on the same windows (the DSP consumes data, not params —
+    tests/test_adc_train.py pins loss/params/BN stats)."""
+    return make_chunk_train_step(
+        model, tx, geometry, mesh=mesh,
+        frame_prep=make_adc_frame_prep(radar_params, num_frames))
+
+
+class ADCChunkLoader(ChunkTrainLoader):
+    """ChunkTrainLoader over raw capture .bin files (data/adc.py): ships
+    each chunk's frame union as int16 DCA1000 stream slices — the sensor's
+    native sample format, ~2.7x fewer wire bytes than f32 cube planes —
+    and never touches the preprocessed .npy cubes. SETUP.transferDtype
+    does not apply (int16 is already the floor)."""
+
+    def __init__(self, dataset, batch_size: int, adc_source, seed: int = 0,
+                 shuffle: bool = True, prefetch: int = 2,
+                 pad_multiple: int = 1):
+        super().__init__(dataset, batch_size, seed=seed, shuffle=shuffle,
+                         prefetch=prefetch, pad_multiple=pad_multiple)
+        self.adc = adc_source
+
+    @staticmethod
+    def applicable(dataset, cfg, adc_source=None) -> bool:
+        if not ChunkTrainLoader.applicable(dataset, cfg):
+            return False
+        return adc_source is not None and \
+            adc_source.available(dataset.image_ids)
+
+    def _assemble(self, chunk: dict) -> dict:
+        ds = self.dataset
+        nf = chunk["n_frames"]
+        out = {}
+        for view in ("hori", "vert"):
+            arr = np.empty((self.f_pad, self.adc.frame_samples), np.int16)
+            self.adc.read_frames(ds.image_ids, chunk["lo"], nf, view, arr)
+            arr[nf:] = arr[nf - 1]      # pad frames: finite, never gathered
+            out[view] = arr
+        b, true_b, row0 = self.rows_pad, chunk["true_b"], chunk["row0"]
+        joints = np.empty((b,) + ds.joints.shape[1:], ds.joints.dtype)
+        joints[:true_b] = ds.joints[row0:row0 + true_b]
+        joints[true_b:] = joints[true_b - 1]
+        mask = (np.arange(b) < true_b).astype(np.float32)
+        out.update(rel=chunk["rel"], jointsGroup=joints, mask=mask,
+                   trueB=true_b,
+                   imageId=np.asarray(ds.image_ids[row0:row0 + true_b]))
+        return out
 
 
 def device_put_chunk(batch: dict, mesh=None) -> tuple[dict, int]:

@@ -113,6 +113,9 @@ class Runner:
                     print("==========>chunkTrain requested but inapplicable "
                           "(needs single-host, sampling_ratio 1, lossDecay "
                           "-1, full-duration sequences) — classic loader")
+                elif getattr(t, "chunkSource", "cubes") == "adc" and \
+                        self._try_adc_chunk(cfg, args, ndev, geometry):
+                    pass  # fused ADC loader/step installed
                 else:
                     self._chunk_loader = ChunkTrainLoader(
                         self.train_set, t.batchSize, seed=args.seed,
@@ -175,6 +178,30 @@ class Runner:
                 else "batches"
             print(f"==========>Train set size: {len(driving_loader)} {kind}")
         print("==========>Test set size:", len(self.test_loader))
+
+    def _try_adc_chunk(self, cfg, args, ndev, geometry) -> bool:
+        """Install the fused raw-ADC chunk loader + step
+        (TRAINING.chunkSource: adc) when the capture .bin files cover the
+        train split; returns False (with a printed notice) otherwise so the
+        caller falls back to cube chunks."""
+        from hupr_tpu.data.adc import ADCFrameSource
+        from hupr_tpu.engine.chunk_train import (ADCChunkLoader,
+                                                 make_adc_chunk_train_step)
+        d = cfg.DATASET
+        rp = d.radar_params()       # raises on a geometry mismatch
+        adc = ADCFrameSource(d.adcDir, rp)
+        if not ADCChunkLoader.applicable(self.train_set, cfg, adc):
+            print("==========>chunkSource adc requested but the captures "
+                  f"under DATASET.adcDir={d.adcDir!r} don't cover the "
+                  "train split — cube chunks")
+            return False
+        self._chunk_loader = ADCChunkLoader(
+            self.train_set, cfg.TRAINING.batchSize, adc, seed=args.seed,
+            shuffle=True, pad_multiple=ndev)
+        self._chunk_step = make_adc_chunk_train_step(
+            self.model, self.tx, geometry, mesh=self.mesh,
+            radar_params=rp, num_frames=d.numFrames)
+        return True
 
     # ---------------- LR schedule (base.py:66-72) ----------------
 

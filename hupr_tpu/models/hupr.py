@@ -86,7 +86,13 @@ class HuPRNet(nn.Module):
         logits, gcn = self.radarDecoder(ra_l1, ra_l2, ra_l3,
                                         re_l1, re_l2, re_l3, train)
 
-        # reference output contract: (B, K, 1, H, W) and (B, 1, K, H, W)
+        # reference output contract: (B, K, 1, H, W) and (B, 1, K, H, W).
+        # The model boundary is f32 regardless of MODEL.computeDtype: the
+        # BCE loss + its custom VJP (ops/heatmap.py) run reference f32
+        # numerics, and a bf16 logit would crash grad with a cotangent
+        # dtype mismatch in sigmoid's backward.
+        logits = logits.astype(jnp.float32)
+        gcn = gcn.astype(jnp.float32)
         heatmap = nn.sigmoid(logits)                    # (B, H, W, K)
         heatmap = jnp.transpose(heatmap, (0, 3, 1, 2))[:, :, None]
         gcn = jnp.transpose(gcn, (0, 3, 1, 2))[:, None]

@@ -60,6 +60,37 @@ def test_bf16_forward_matches_f32():
     assert agree >= 1.0 - DECODE_DISAGREE_FRAC, agree
 
 
+def test_bf16_train_step_grads():
+    """grad through the bf16 forward works and stays finite (a bf16 logit
+    leaking into the f32 BCE custom VJP crashes sigmoid's backward with a
+    cotangent dtype mismatch — pose_from_maps casts the boundary)."""
+    from hupr_tpu.config import config_from_dict
+    from hupr_tpu.engine.steps import (TrainState, make_optimizer,
+                                       make_train_step)
+    from hupr_tpu.utils.synthetic import synthetic_variables
+
+    cfg = config_from_dict({"MODEL": {"numFilters": 2,
+                                      "computeDtype": "bfloat16"}})
+    from hupr_tpu.models import build_model
+    model = build_model(cfg)
+    shape = (2, 8, 8, 2, 64, 64, 8)
+    variables = synthetic_variables(model, shape)
+    tx = make_optimizer(cfg)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]),
+                       step=jnp.zeros((), jnp.int32))
+    rng = np.random.default_rng(0)
+    batch = {"hori": rng.standard_normal(shape).astype(np.float32),
+             "vert": rng.standard_normal(shape).astype(np.float32),
+             "jointsGroup": rng.uniform(20, 230, (2, 14, 2))}
+    step = make_train_step(model, tx)
+    state, metrics = step(state, batch, 1e-4, 0.0)
+    assert np.isfinite(float(metrics["loss"]))
+    assert all(np.all(np.isfinite(np.asarray(l)))
+               for l in jax.tree.leaves(state.params))
+
+
 @pytest.mark.slow
 def test_bf16_golden_ap_within_bound(tmp_path):
     """The full benchmark-eval pipeline under bf16 compute stays within
