@@ -104,7 +104,10 @@ class TrainingConfig:
     # (tests/test_chunk_train.py) but the epoch shuffles chunks, not
     # windows — a training-semantics change, hence opt-in. Auto-falls back
     # to the classic loader when inapplicable (sampling_ratio != 1,
-    # lossDecay != -1, ragged sequences, multi-host).
+    # lossDecay != -1, ragged sequences). Multi-host runs shard the chunk
+    # assembly per host (each process builds only its block of the padded
+    # frame/row axes; no frame halo — the window gather rides the same
+    # GSPMD all-gather the meshed step already has).
     chunkTrain: bool = False
     # What the chunk loader ships per frame (chunkTrain only):
     #   "cubes" — center-chirp planes of the preprocessed .npy radar cubes

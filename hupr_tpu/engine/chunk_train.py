@@ -30,9 +30,10 @@ Applicability mirrors sequence-mode eval (engine/seq_eval.py): sampling
 ratio 1, lossDecay == -1 (step counts differ from the classic epoch when
 duration % B != 0, which would desynchronize the annealing trajectory), and
 full-duration sequences (the reference's `index % duration` clamp only
-defines in-range windows then). Multi-host runs keep the classic loader
-(each process would need a frame-halo protocol to assemble its row slice;
-not worth it while single-host training is loader-bound).
+defines in-range windows then). Multi-host runs shard BOTH padded axes by
+process block (no frame halo needed: window gathers ride the same GSPMD
+all-gather of encoded maps the single-host meshed step already uses), so
+each host assembles 1/nproc of every chunk's frames and rows.
 
 FUSED ADC mode (TRAINING.chunkSource: adc) goes one step further: instead
 of center-chirp cube planes read from preprocessed .npy files, the host
@@ -207,12 +208,19 @@ class ChunkTrainLoader:
 
     def __init__(self, dataset, batch_size: int, seed: int = 0,
                  shuffle: bool = True, prefetch: int = 2,
-                 pad_multiple: int = 1, transfer_dtype=np.float32):
+                 pad_multiple: int = 1, transfer_dtype=np.float32,
+                 process=None):
         """`pad_multiple`: mesh device count — both shipped axes (frame
         stack F, window rows B) pad up to a multiple of it so the meshed
         step's shardings are valid (device_put refuses uneven splits).
         `transfer_dtype`: wire format for the frame planes
-        (SETUP.transferDtype via utils/transfer.py)."""
+        (SETUP.transferDtype via utils/transfer.py).
+        `process=(pid, nproc)`: multi-host mode — this process assembles
+        only ITS contiguous block of both padded global axes (the p-th
+        device block owns the p-th frame/row block); every process derives
+        the identical (seed, epoch)-keyed chunk order. Per-host wire bytes
+        AND disk reads drop by nproc (SURVEY §2.10 'data loading sharded
+        per host', now for the chunk path too)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.transfer_dtype = np.dtype(transfer_dtype)
@@ -220,6 +228,7 @@ class ChunkTrainLoader:
         self.seed = seed
         self.shuffle = shuffle
         self.prefetch = prefetch
+        self.process = process
         self._epoch = 0
         m = max(1, int(pad_multiple))
         self.rows_pad = batch_size + (-batch_size) % m
@@ -227,6 +236,13 @@ class ChunkTrainLoader:
                                   batch_size, pad_rows_to=self.rows_pad)
         f = batch_size + self.group - 1
         self.f_pad = f + (-f) % m
+        if process is not None:
+            nproc = process[1]
+            if self.rows_pad % nproc or self.f_pad % nproc:
+                raise ValueError(
+                    f"process mode needs the padded axes (rows {self.rows_pad}"
+                    f", frames {self.f_pad}) divisible by nproc={nproc}; "
+                    f"pass pad_multiple = global device count")
 
     @staticmethod
     def applicable(dataset, cfg) -> bool:
@@ -241,15 +257,42 @@ class ChunkTrainLoader:
     def __len__(self) -> int:
         return len(self.chunks)
 
+    def _block(self, padded: int) -> tuple:
+        """This process's contiguous index block [lo, hi) of a padded
+        global axis (the whole axis single-process)."""
+        if self.process is None:
+            return 0, padded
+        pid, nproc = self.process
+        blk = padded // nproc
+        return pid * blk, (pid + 1) * blk
+
+    def _window_rows(self, chunk: dict) -> dict:
+        """The window-axis leaves of one assembled batch: this process's
+        row block of rel/joints/mask (global rows past true_b repeat the
+        last real window, mask 0)."""
+        ds = self.dataset
+        true_b, row0 = chunk["true_b"], chunk["row0"]
+        r_lo, r_hi = self._block(self.rows_pad)
+        joints = np.stack([ds.joints[row0 + min(r, true_b - 1)]
+                           for r in range(r_lo, r_hi)])
+        mask = (np.arange(r_lo, r_hi) < true_b).astype(np.float32)
+        return dict(rel=chunk["rel"][r_lo:r_hi], jointsGroup=joints,
+                    mask=mask, trueB=true_b, fPad=self.f_pad,
+                    rowsPad=self.rows_pad,
+                    imageId=np.asarray(ds.image_ids[row0:row0 + true_b]))
+
     def _assemble(self, chunk: dict) -> dict:
-        """Host side: ONE copy of each distinct frame into the padded
-        (F_pad, C, 2, R, A, E) stacks; pad frames repeat the last real frame
-        (never gathered, but they must stay finite: a 0-cotangent VJP through
-        a NaN activation still poisons the gradient)."""
+        """Host side: ONE copy of each distinct frame into this process's
+        block of the padded (F_pad, C, 2, R, A, E) stacks; pad frames repeat
+        the last real frame (never gathered, but they must stay finite: a
+        0-cotangent VJP through a NaN activation still poisons the
+        gradient)."""
         ds = self.dataset
         nf = chunk["n_frames"]
-        idx = range(chunk["lo"], chunk["lo"] + nf)
-        shape = (self.f_pad, ds.num_frames, 2) + ds._inner_shape
+        f_lo, f_hi = self._block(self.f_pad)
+        # global frame g holds dataset frame lo + min(g, nf-1)
+        idx = [chunk["lo"] + min(g, nf - 1) for g in range(f_lo, f_hi)]
+        shape = (f_hi - f_lo, ds.num_frames, 2) + ds._inner_shape
         out = {}
         for key, paths in (("hori", ds.paths_hori), ("vert", ds.paths_vert)):
             frames = ds._frames([paths[i] for i in idx])
@@ -257,18 +300,10 @@ class ChunkTrainLoader:
             for g, (re, im) in enumerate(frames):
                 arr[g, :, 0] = re
                 arr[g, :, 1] = im
-            arr[nf:] = arr[nf - 1]
             if self.transfer_dtype != np.float32:
                 arr = arr.astype(self.transfer_dtype)
             out[key] = arr
-        b, true_b, row0 = self.rows_pad, chunk["true_b"], chunk["row0"]
-        joints = np.empty((b,) + ds.joints.shape[1:], ds.joints.dtype)
-        joints[:true_b] = ds.joints[row0:row0 + true_b]
-        joints[true_b:] = joints[true_b - 1]
-        mask = (np.arange(b) < true_b).astype(np.float32)
-        out.update(rel=chunk["rel"], jointsGroup=joints, mask=mask,
-                   trueB=true_b,
-                   imageId=np.asarray(ds.image_ids[row0:row0 + true_b]))
+        out.update(self._window_rows(chunk))
         return out
 
     def _order(self) -> list[int]:
@@ -334,9 +369,10 @@ class ADCChunkLoader(ChunkTrainLoader):
 
     def __init__(self, dataset, batch_size: int, adc_source, seed: int = 0,
                  shuffle: bool = True, prefetch: int = 2,
-                 pad_multiple: int = 1):
+                 pad_multiple: int = 1, process=None):
         super().__init__(dataset, batch_size, seed=seed, shuffle=shuffle,
-                         prefetch=prefetch, pad_multiple=pad_multiple)
+                         prefetch=prefetch, pad_multiple=pad_multiple,
+                         process=process)
         self.adc = adc_source
 
     @staticmethod
@@ -349,31 +385,48 @@ class ADCChunkLoader(ChunkTrainLoader):
     def _assemble(self, chunk: dict) -> dict:
         ds = self.dataset
         nf = chunk["n_frames"]
+        f_lo, f_hi = self._block(self.f_pad)
+        real_n = max(0, min(f_hi, nf) - f_lo)   # real frames in this block
         out = {}
         for view in ("hori", "vert"):
-            arr = np.empty((self.f_pad, self.adc.frame_samples), np.int16)
-            self.adc.read_frames(ds.image_ids, chunk["lo"], nf, view, arr)
-            arr[nf:] = arr[nf - 1]      # pad frames: finite, never gathered
+            arr = np.empty((f_hi - f_lo, self.adc.frame_samples), np.int16)
+            if real_n > 0:
+                self.adc.read_frames(ds.image_ids, chunk["lo"] + f_lo,
+                                     real_n, view, arr)
+                arr[real_n:] = arr[real_n - 1]   # clamp rows: repeat last
+            else:
+                # the whole block is clamp rows (short chunk tail)
+                last = np.empty((1, self.adc.frame_samples), np.int16)
+                self.adc.read_frames(ds.image_ids, chunk["lo"] + nf - 1,
+                                     1, view, last)
+                arr[:] = last
             out[view] = arr
-        b, true_b, row0 = self.rows_pad, chunk["true_b"], chunk["row0"]
-        joints = np.empty((b,) + ds.joints.shape[1:], ds.joints.dtype)
-        joints[:true_b] = ds.joints[row0:row0 + true_b]
-        joints[true_b:] = joints[true_b - 1]
-        mask = (np.arange(b) < true_b).astype(np.float32)
-        out.update(rel=chunk["rel"], jointsGroup=joints, mask=mask,
-                   trueB=true_b,
-                   imageId=np.asarray(ds.image_ids[row0:row0 + true_b]))
+        out.update(self._window_rows(chunk))
         return out
 
 
 def device_put_chunk(batch: dict, mesh=None) -> tuple[dict, int]:
-    """Place one assembled chunk batch on device (frame planes on the frame
-    axis, window-keyed leaves on the batch axis when meshed). Returns
-    (device_batch, true_b)."""
+    """Place one assembled chunk batch on device (frame payloads on the
+    frame axis, window-keyed leaves on the batch axis when meshed). Under a
+    multi-process runtime each process holds only its block of every axis
+    (ChunkTrainLoader process mode) and the leaves become global jax.Arrays
+    (jax.make_array_from_process_local_data). Returns (device_batch,
+    true_b)."""
     true_b = int(batch["trueB"])
     leaves = {k: batch[k] for k in ("hori", "vert", "rel", "jointsGroup",
                                     "mask")}
-    if mesh is not None and mesh.devices.size > 1:
+    if mesh is not None and jax.process_count() > 1:
+        from hupr_tpu.parallel.mesh import batch_sharding
+        shard = batch_sharding(mesh)
+        axis_rows = {"hori": batch["fPad"], "vert": batch["fPad"],
+                     "rel": batch["rowsPad"], "jointsGroup": batch["rowsPad"],
+                     "mask": batch["rowsPad"]}
+        dev = {}
+        for k, v in leaves.items():
+            v = np.asarray(v)
+            dev[k] = jax.make_array_from_process_local_data(
+                shard, v, global_shape=(int(axis_rows[k]),) + v.shape[1:])
+    elif mesh is not None and mesh.devices.size > 1:
         from hupr_tpu.parallel.mesh import batch_sharding
         shard = batch_sharding(mesh)
         dev = {k: jax.device_put(v, shard) for k, v in leaves.items()}

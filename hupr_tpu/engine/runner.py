@@ -108,18 +108,24 @@ class Runner:
             if getattr(t, "chunkTrain", False):
                 from hupr_tpu.engine.chunk_train import (
                     ChunkTrainLoader, make_chunk_train_step)
-                if self.n_proc > 1 or not ChunkTrainLoader.applicable(
-                        self.train_set, cfg):
+                # multi-host: every process assembles only its block of the
+                # padded frame/row axes (ChunkTrainLoader process mode) —
+                # per-host wire bytes and disk reads drop by nproc
+                chunk_proc = ((self.pid, self.n_proc)
+                              if self.n_proc > 1 else None)
+                if not ChunkTrainLoader.applicable(self.train_set, cfg):
                     print("==========>chunkTrain requested but inapplicable "
-                          "(needs single-host, sampling_ratio 1, lossDecay "
-                          "-1, full-duration sequences) — classic loader")
+                          "(needs sampling_ratio 1, lossDecay -1, "
+                          "full-duration sequences) — classic loader")
                 elif getattr(t, "chunkSource", "cubes") == "adc" and \
-                        self._try_adc_chunk(cfg, args, ndev, geometry):
+                        self._try_adc_chunk(cfg, args, ndev, geometry,
+                                            chunk_proc):
                     pass  # fused ADC loader/step installed
                 else:
                     self._chunk_loader = ChunkTrainLoader(
                         self.train_set, t.batchSize, seed=args.seed,
-                        shuffle=True, pad_multiple=ndev, transfer_dtype=wire)
+                        shuffle=True, pad_multiple=ndev, transfer_dtype=wire,
+                        process=chunk_proc)
                     self._chunk_step = make_chunk_train_step(
                         self.model, self.tx, geometry, mesh=self.mesh)
             if self._chunk_loader is None:
@@ -179,7 +185,8 @@ class Runner:
             print(f"==========>Train set size: {len(driving_loader)} {kind}")
         print("==========>Test set size:", len(self.test_loader))
 
-    def _try_adc_chunk(self, cfg, args, ndev, geometry) -> bool:
+    def _try_adc_chunk(self, cfg, args, ndev, geometry,
+                       process=None) -> bool:
         """Install the fused raw-ADC chunk loader + step
         (TRAINING.chunkSource: adc) when the capture .bin files cover the
         train split; returns False (with a printed notice) otherwise so the
@@ -190,14 +197,21 @@ class Runner:
         d = cfg.DATASET
         rp = d.radar_params()       # raises on a geometry mismatch
         adc = ADCFrameSource(d.adcDir, rp)
-        if not ADCChunkLoader.applicable(self.train_set, cfg, adc):
+        ok = ADCChunkLoader.applicable(self.train_set, cfg, adc)
+        if self.n_proc > 1:
+            # one host missing captures would silently fall back to cube
+            # chunks and desynchronize the collective schedule — agree, or
+            # raise on every process together
+            from hupr_tpu.parallel import multihost
+            multihost.assert_agreement("adc chunk availability", float(ok))
+        if not ok:
             print("==========>chunkSource adc requested but the captures "
                   f"under DATASET.adcDir={d.adcDir!r} don't cover the "
                   "train split — cube chunks")
             return False
         self._chunk_loader = ADCChunkLoader(
             self.train_set, cfg.TRAINING.batchSize, adc, seed=args.seed,
-            shuffle=True, pad_multiple=ndev)
+            shuffle=True, pad_multiple=ndev, process=process)
         self._chunk_step = make_adc_chunk_train_step(
             self.model, self.tx, geometry, mesh=self.mesh,
             radar_params=rp, num_frames=d.numFrames)

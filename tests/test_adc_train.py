@@ -152,6 +152,24 @@ def test_adc_loader_epoch_coverage(tmp_path):
     assert sorted(ids) == sorted(ds.image_ids)
 
 
+def test_adc_process_blocks_cover_full_assembly(tmp_path):
+    """Multi-host ADC mode: per-process blocks concatenate to the
+    single-process assembly (incl. the all-clamp tail block case)."""
+    cfg = make_adc_dataset(tmp_path)
+    ds = get_dataset("train", cfg, 1)
+    src = ADCFrameSource(cfg.DATASET.adcDir, TINY_RP)
+    full = ADCChunkLoader(ds, 4, src, shuffle=False, pad_multiple=8)
+    parts = [ADCChunkLoader(ds, 4, src, shuffle=False, pad_multiple=8,
+                            process=(p, 4)) for p in range(4)]
+    for ci in range(len(full.chunks)):
+        whole = full._assemble(full.chunks[ci])
+        slices = [p._assemble(p.chunks[ci]) for p in parts]
+        for k in ("hori", "vert", "rel", "jointsGroup", "mask"):
+            np.testing.assert_array_equal(
+                np.concatenate([s[k] for s in slices]), whole[k],
+                err_msg=f"chunk {ci} leaf {k}")
+
+
 def test_runner_installs_adc_loader_and_falls_back(tmp_path):
     import argparse
 

@@ -178,6 +178,27 @@ def test_chunk_loader_epoch_coverage(tmp_path):
     assert tuple(ids2) == orders[0]
 
 
+def test_chunk_process_blocks_cover_full_assembly(tmp_path):
+    """Multi-host mode: the per-process blocks of every leaf, concatenated
+    in process order, equal the single-process assembly — so the global
+    jax.Arrays built from them (device_put_chunk) hold exactly the
+    single-host batch."""
+    cfg = _cfg(tmp_path, batch_size=4)
+    ds = get_dataset("train", cfg, 1)
+    full = ChunkTrainLoader(ds, 4, shuffle=False, pad_multiple=8)
+    parts = [ChunkTrainLoader(ds, 4, shuffle=False, pad_multiple=8,
+                              process=(p, 2)) for p in range(2)]
+    assert full.f_pad % 2 == 0 and full.rows_pad % 2 == 0
+    for ci in range(len(full.chunks)):
+        whole = full._assemble(full.chunks[ci])
+        slices = [p._assemble(p.chunks[ci]) for p in parts]
+        for k in ("hori", "vert", "rel", "jointsGroup", "mask"):
+            np.testing.assert_array_equal(
+                np.concatenate([s[k] for s in slices]), whole[k],
+                err_msg=f"chunk {ci} leaf {k}")
+        assert all(s["trueB"] == whole["trueB"] for s in slices)
+
+
 @pytest.mark.slow
 def test_runner_chunk_train_end_to_end(tmp_path):
     """Runner with TRAINING.chunkTrain: a full epoch trains, checkpoints,

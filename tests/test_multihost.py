@@ -84,6 +84,55 @@ def test_two_process_runner_train_eval(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_runner_chunk_train(tmp_path):
+    """Runner under 2-process jax.distributed with TRAINING.chunkTrain:
+    each host assembles only its block of every padded chunk axis, the
+    sharded chunk step's leaves become global jax.Arrays, and the epoch
+    (train + distributed eval + process-0 checkpointing) completes with
+    both hosts agreeing on the AP."""
+    import json
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_e2e import make_tiny_dataset
+
+    make_tiny_dataset(str(tmp_path / "data"), [1, 2], r=32, a=32,
+                      img_size=128)
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multihost_runner_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(worker))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(port), str(pid), str(tmp_path),
+         "chunk"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1800)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multihost chunk-train workers timed out")
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    bests = []
+    for out in outs:
+        m = re.search(r"MHRUNNER_OK pid=\d best=([-0-9.]+)", out)
+        assert m, f"no OK line in:\n{out[-4000:]}"
+        bests.append(float(m.group(1)))
+    assert bests[0] == bests[1]
+    log_dir = tmp_path / "logs" / "mh"
+    assert (log_dir / "checkpoint.ckpt").exists()
+    with open(log_dir / "val_results.json") as fp:
+        assert len(json.load(fp)) == 16
+
+
+@pytest.mark.slow
 def test_two_process_distributed_train_step():
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
