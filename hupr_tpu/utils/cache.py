@@ -16,17 +16,51 @@ import hashlib
 
 
 def machine_cache_dir(base: str) -> str:
-    """`base` suffixed with a stable hash of this host's CPU feature flags
-    (falls back to `base` when /proc/cpuinfo is unavailable)."""
+    """`base` suffixed with a stable hash of this host's CPU model + feature
+    flags (falls back to `base` when /proc/cpuinfo is unavailable).
+
+    XLA's AOT entries embed tuning features beyond the ISA flag set
+    (+prefer-no-scatter/-gather are chosen per detected MICROARCH via
+    cpuid), so two VMs with an identical templated cpuinfo can still
+    reject each other's entries — observed on this image's migrating
+    firecracker hosts. The compiler's -march=native resolution reads the
+    same cpuid the XLA host detector does, so fold it in alongside the
+    cpuinfo lines (each source degrades gracefully when unavailable)."""
+    parts = []
     try:
         with open("/proc/cpuinfo") as fp:
             for line in fp:
-                if line.startswith("flags"):
-                    key = hashlib.md5(line.encode()).hexdigest()[:10]
-                    return f"{base}_{key}"
+                if line.startswith(("flags", "model name")):
+                    parts.append(line)
+                    if len(parts) == 2:
+                        break
     except OSError:
         pass
+    parts.append(_native_march())
+    blob = "".join(sorted(parts))
+    if blob:
+        return f"{base}_{hashlib.md5(blob.encode()).hexdigest()[:10]}"
     return base
+
+
+def _native_march() -> str:
+    """The microarch gcc/clang resolve -march=native to (cpuid-derived),
+    '' when no compiler is available."""
+    import shutil
+    import subprocess
+    for cc in ("g++", "gcc", "clang"):
+        if shutil.which(cc) is None:
+            continue
+        try:
+            out = subprocess.run(
+                [cc, "-march=native", "-Q", "--help=target"],
+                capture_output=True, text=True, timeout=10).stdout
+            for line in out.splitlines():
+                if "-march=" in line:
+                    return line.split("=", 1)[1].strip()
+        except (OSError, subprocess.SubprocessError):
+            continue
+    return ""
 
 
 def enable_persistent_cache(jax, base: str) -> str:

@@ -71,27 +71,33 @@ def test_default_loss_decay_minus_one_sums_losses():
 
 
 def test_jitted_steps_combine_with_alpha():
+    # reduced 32x32 layout: the alpha-combination identity is
+    # geometry-parametric (quick-tier trim)
     cfg = config_from_dict({"MODEL": {"numFilters": 2},
+                            "DATASET": {"rangeSize": 32, "azimuthSize": 32,
+                                        "heatmapSize": 32, "imgSize": 128},
                             "TRAINING": {"lossDecay": 0.5}})
     model = build_model(cfg)
     tx = make_optimizer(cfg)
     rng = np.random.default_rng(1)
-    shape = (2, 8, 8, 2, 64, 64, 8)
+    shape = (2, 8, 8, 2, 32, 32, 8)
+    geometry = (14, 32, 128)
     batch = {
         "hori": rng.standard_normal(shape).astype(np.float32),
         "vert": rng.standard_normal(shape).astype(np.float32),
-        "jointsGroup": rng.uniform(20, 230, (2, 14, 2)),
+        "jointsGroup": rng.uniform(10, 115, (2, 14, 2)),
     }
     state = init_state(model, cfg, jax.random.PRNGKey(0))
 
-    eval_step = make_eval_step(model, loss_decay=0.5)
+    eval_step = make_eval_step(model, loss_decay=0.5, geometry=geometry)
     out = eval_step(state, batch, 0.9)
     np.testing.assert_allclose(
         float(out["loss"]),
         0.9 * float(out["loss1"]) + 0.1 * float(out["loss2"]), rtol=1e-6)
 
     # train_step donates its state argument — run it last
-    train_step = make_train_step(model, tx, loss_decay=0.5)
+    train_step = make_train_step(model, tx, loss_decay=0.5,
+                             geometry=geometry)
     _, m = train_step(state, batch, 1e-4, 0.3)
     np.testing.assert_allclose(
         float(m["loss"]),

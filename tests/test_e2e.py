@@ -46,12 +46,19 @@ def make_tiny_dataset(root, seq_ids, duration=8, chirps=16, r=64, a=64, e=8,
             json.dump(data, fp)
 
 
-def tiny_cfg(data_dir, duration=8):
+def tiny_cfg(data_dir, duration=8, spatial=64):
+    """spatial=32 is the reduced 32x32 layout (the dryrun's: full graph
+    structure, 16x less attention work) — pair it with
+    make_tiny_dataset(r=32, a=32, img_size=128)."""
+    dataset = {
+        "duration": duration, "dataDir": data_dir,
+        "trainName": [1], "valName": [1], "testName": [1],
+    }
+    if spatial != 64:
+        dataset.update(rangeSize=spatial, azimuthSize=spatial,
+                       heatmapSize=spatial, imgSize=4 * spatial)
     return config_from_dict({
-        "DATASET": {
-            "duration": duration, "dataDir": data_dir,
-            "trainName": [1], "valName": [1], "testName": [1],
-        },
+        "DATASET": dataset,
         "MODEL": {"numFilters": 2},
         "TRAINING": {"batchSize": 2, "epochs": 1, "lr": 1e-4,
                      "lrDecayIter": 2},

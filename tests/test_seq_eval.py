@@ -9,7 +9,21 @@ import os
 import numpy as np
 import pytest
 
-from test_e2e import make_tiny_dataset, tiny_cfg
+from test_e2e import make_tiny_dataset as _full_tiny_dataset
+from test_e2e import tiny_cfg as _full_tiny_cfg
+
+
+def make_tiny_dataset(root, seqs, duration=8):
+    # reduced 32x32 layout: seq-vs-classic equivalence is geometry-
+    # parametric, and the full 64x64 forward stays covered by
+    # test_reference_parity / test_model (VERDICT r3 weak #7: the
+    # full-size programs made this file ~7 min of the quick tier)
+    _full_tiny_dataset(root, seqs, duration=duration, r=32, a=32,
+                       img_size=128)
+
+
+def tiny_cfg(data_dir, duration=8):
+    return _full_tiny_cfg(data_dir, duration=duration, spatial=32)
 
 
 def _runner(cfg, dir_name):
