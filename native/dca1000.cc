@@ -1,0 +1,151 @@
+// hupr_tpu native DCA1000 live-capture frontend.
+//
+// Role: the reference consumes DCA1000 captures only as post-hoc
+// adc_data.bin files (reference preprocessing/process_iwr1843.py:91-104
+// reads the whole file); there is no live path. This component turns the
+// capture card's raw-mode UDP packet stream into whole radar frames for
+// the streaming serving pipeline (hupr_tpu/engine/streaming.py), handling
+// the realities of UDP: reordering, duplication, drops, and bursts.
+//
+// DCA1000EVM raw-mode data packet (TI spec, little-endian):
+//   bytes 0-3   uint32  sequence number (1-based packet counter)
+//   bytes 4-9   uint48  byte count = offset of this payload in the stream
+//   bytes 10-.. payload (raw int16 ADC samples, typ. <= 1456 bytes)
+//
+// Reassembly contract (mirrors TI's own parsing scripts): payloads are
+// placed at their byte offset; spans never received by the time a frame
+// is consumed read as ZEROS ("zero-fill"), so one lost packet corrupts
+// one frame span instead of shifting every later sample. A bounded ring
+// holds `ring_frames` frames; if the producer outruns the consumer the
+// OLDEST unread frames are discarded (drop-oldest: live streaming wants
+// the freshest data, and the consumer can see it happened via stats).
+//
+// Thread contract: one feeder thread + one reader thread is the intended
+// topology; a mutex keeps feed/read/stats atomic (packet payloads are
+// ~1.5 KB — copy time under the lock is trivial next to the syscall that
+// produced them).
+//
+// Build: g++ -O3 -shared -fPIC -std=c++17 -o libhupr_dca1000.so dca1000.cc
+
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <vector>
+
+namespace {
+
+struct Capture {
+  std::mutex mu;
+  long frame_bytes = 0;
+  long capacity = 0;        // ring bytes = ring_frames * frame_bytes
+  std::vector<uint8_t> ring;  // zero-initialized; consumed spans re-zeroed
+  long base = 0;            // stream offset of the oldest unread frame
+  long watermark = 0;       // highest stream offset written (exclusive)
+  // stats
+  long packets = 0;
+  long bytes = 0;           // payload bytes accepted into the ring
+  long late_bytes = 0;      // payload below base on arrival (too old)
+  long overflow_frames = 0; // unread frames discarded to make room
+  long reordered = 0;       // packets whose seq went backwards
+  uint32_t last_seq = 0;
+};
+
+inline uint8_t* slot(Capture* c, long stream_off) {
+  return c->ring.data() + (stream_off % c->capacity);
+}
+
+// Zero + discard the oldest unread frame (ring overflow / consumption).
+void drop_oldest(Capture* c) {
+  long off = c->base;
+  for (long i = 0; i < c->frame_bytes; i++) *slot(c, off + i) = 0;
+  c->base += c->frame_bytes;
+  if (c->watermark < c->base) c->watermark = c->base;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* hupr_cap_create(long frame_bytes, long ring_frames) {
+  if (frame_bytes <= 0 || ring_frames <= 0) return nullptr;
+  Capture* c = new Capture();
+  c->frame_bytes = frame_bytes;
+  c->capacity = frame_bytes * ring_frames;
+  c->ring.assign(c->capacity, 0);
+  return c;
+}
+
+void hupr_cap_destroy(void* h) { delete static_cast<Capture*>(h); }
+
+// Feed one raw-mode UDP datagram (header + payload). Returns the payload
+// bytes accepted, 0 if the packet was entirely too old, -1 on a malformed
+// packet (shorter than the 10-byte header).
+long hupr_cap_feed(void* h, const uint8_t* pkt, long len) {
+  Capture* c = static_cast<Capture*>(h);
+  if (len < 10) return -1;
+  uint32_t seq;
+  memcpy(&seq, pkt, 4);
+  uint64_t off64 = 0;
+  memcpy(&off64, pkt + 4, 6);  // little-endian uint48
+  long off = (long)off64;
+  const uint8_t* payload = pkt + 10;
+  long n = len - 10;
+
+  std::lock_guard<std::mutex> lock(c->mu);
+  c->packets++;
+  if (c->last_seq != 0 && seq <= c->last_seq) c->reordered++;
+  if (seq > c->last_seq) c->last_seq = seq;
+
+  if (off + n <= c->base) {  // entirely below the oldest unread frame
+    c->late_bytes += n;
+    return 0;
+  }
+  if (off < c->base) {  // straddles base: accept only the live tail
+    long skip = c->base - off;
+    c->late_bytes += skip;
+    payload += skip;
+    off += skip;
+    n -= skip;
+  }
+  // make room: discard oldest unread frames until the payload fits
+  while (off + n > c->base + c->capacity) {
+    drop_oldest(c);
+    c->overflow_frames++;
+  }
+  // place the payload (may wrap the ring boundary)
+  for (long i = 0; i < n; i++) *slot(c, off + i) = payload[i];
+  c->bytes += n;
+  if (off + n > c->watermark) c->watermark = off + n;
+  return n;
+}
+
+long hupr_cap_frames_ready(void* h) {
+  Capture* c = static_cast<Capture*>(h);
+  std::lock_guard<std::mutex> lock(c->mu);
+  return (c->watermark - c->base) / c->frame_bytes;
+}
+
+// Pop the oldest frame into `out` (frame_bytes bytes). Spans never
+// received read as zeros. Returns 1 on success, 0 when no complete frame
+// is buffered.
+int hupr_cap_read_frame(void* h, uint8_t* out) {
+  Capture* c = static_cast<Capture*>(h);
+  std::lock_guard<std::mutex> lock(c->mu);
+  if (c->watermark - c->base < c->frame_bytes) return 0;
+  for (long i = 0; i < c->frame_bytes; i++) out[i] = *slot(c, c->base + i);
+  drop_oldest(c);
+  return 1;
+}
+
+void hupr_cap_stats(void* h, long* packets, long* bytes, long* late_bytes,
+                    long* overflow_frames, long* reordered) {
+  Capture* c = static_cast<Capture*>(h);
+  std::lock_guard<std::mutex> lock(c->mu);
+  *packets = c->packets;
+  *bytes = c->bytes;
+  *late_bytes = c->late_bytes;
+  *overflow_frames = c->overflow_frames;
+  *reordered = c->reordered;
+}
+
+}  // extern "C"
