@@ -34,6 +34,9 @@ other BASELINE configs:
     (TRAINING.chunkSource: adc): raw int16 stream slices memmap'd straight
     from capture .bin files, decode + DSP + train in one XLA program — the
     north-star "fused preprocessing -> train" config, no .npy hop at all
+  adc_seq_eval_frames_per_sec — the composed FUSED-ADC eval loop
+    (TEST.sequenceSource: adc): raw int16 capture slices -> device decode +
+    DSP + windowed eval, no .npy hop (the eval twin of the adc epoch key)
   seq_eval_frames_per_sec — full eval-path rate (reference config #3) in
     sequence mode (engine/seq_eval.py): real .npy reads + host->device
     per-frame planes + device windowing/forward/loss/decode + deferred
@@ -331,6 +334,10 @@ def main():
         if wire_ab:
             result["seq_eval_frames_per_sec_bf16wire"] = round(
                 _bench_seq_eval(model, variables, wire_name="bfloat16"), 2)
+        # fused-ADC eval (TEST.sequenceSource: adc): int16 capture wire,
+        # decode + DSP on device — the eval twin of adc_epoch_samples_per_sec
+        result["adc_seq_eval_frames_per_sec"] = round(
+            _bench_seq_eval(model, variables, adc=True), 2)
 
     # ---- MODEL.computeDtype=bfloat16 A/B: same params, matmul/conv compute
     # in bf16 (models/hupr.py dtype). Numerics are guarded by
@@ -688,14 +695,18 @@ def _bench_adc_epoch(model, variables, duration: int = 60):
 
 
 def _bench_seq_eval(model, variables, duration: int = 64,
-                    wire_name: str = "float32"):
+                    wire_name: str = "float32", adc: bool = False):
     """End-to-end eval-path throughput in sequence mode: host .npy reads ->
     per-frame plane transfer -> device windowing + forward + loss + decode ->
     per-batch result consumption, with fetches deferred one batch (the
     Runner.eval pattern: batch i's loss/pred2d convert while batch i+1 runs,
     so the ~25-30 ms tunnel RTT overlaps compute instead of serializing).
     The classic per-window path is bounded by loader_samples_per_sec; this
-    is the shipped default (TEST.sequenceEval). Best-of-3 passes."""
+    is the shipped default (TEST.sequenceEval). Best-of-3 passes.
+
+    adc=True benches the FUSED-ADC eval path (TEST.sequenceSource: adc):
+    raw int16 capture slices memmap'd from .bin files, decode + DSP inside
+    the encode program — no .npy anywhere, 768 KB/frame on the wire."""
     import shutil
     import tempfile
 
@@ -704,9 +715,25 @@ def _bench_seq_eval(model, variables, duration: int = 64,
 
     root = tempfile.mkdtemp(prefix="hupr_bench_seqeval_")
     try:
-        cfg = _write_synthetic_dataset(root, duration)
+        cfg = _write_synthetic_dataset(root, duration, cubes=not adc)
         cfg.SETUP.transferDtype = wire_name
-        ev = SequenceEvaluator(model, cfg)
+        src = None
+        if adc:
+            from hupr_tpu.data.adc import ADCFrameSource
+            from hupr_tpu.ops.dsp import RadarParams
+
+            rp = RadarParams()
+            adc_root = os.path.join(root, "raw")
+            cfg.DATASET.adcDir = adc_root
+            rng = np.random.default_rng(0)
+            s = 2 * rp.num_rx * rp.num_chirp * rp.num_adc_samples
+            for view in ("hori", "vert"):
+                d = os.path.join(adc_root, "single_1", view)
+                os.makedirs(d, exist_ok=True)
+                rng.integers(-300, 300, (duration * s,)).astype(
+                    np.int16).tofile(os.path.join(d, "adc_data.bin"))
+            src = ADCFrameSource(adc_root, rp)
+        ev = SequenceEvaluator(model, cfg, adc_source=src)
 
         def one_pass(ds):
             n, pending = 0, None

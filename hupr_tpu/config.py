@@ -133,6 +133,15 @@ class TestConfig:
     # classic loader when inapplicable (sampling_ratio != 1, lossDecay != -1,
     # ragged sequences).
     sequenceEval: bool = True
+    # What sequence-mode eval ships per frame (sequenceEval only):
+    #   "cubes" — preprocessed .npy cube planes (4 MB f32 / 2.1 MB bf16
+    #             per frame with SETUP.transferDtype)
+    #   "adc"   — raw int16 DCA1000 stream slices straight from the capture
+    #             .bin files (DATASET.adcDir, 768 KB/frame); decode + DSP
+    #             run inside the encode program — the eval-side twin of
+    #             TRAINING.chunkSource. Falls back to cubes (with a notice)
+    #             when the captures don't cover the split.
+    sequenceSource: str = "cubes"
 
 
 @dataclass

@@ -390,8 +390,9 @@ class Runner:
             if self._seq_eval is None:
                 local = jax.local_devices()
                 local_mesh = make_mesh(local) if len(local) > 1 else None
-                self._seq_eval = SequenceEvaluator(self.model, self.cfg,
-                                                   mesh=local_mesh)
+                self._seq_eval = SequenceEvaluator(
+                    self.model, self.cfg, mesh=local_mesh,
+                    adc_source=self._adc_eval_source())
             variables = {"params": jax.device_get(self.state.params),
                          "batch_stats": jax.device_get(
                              self.state.batch_stats)}
@@ -404,12 +405,36 @@ class Runner:
                                                share)
         if applicable:
             if self._seq_eval is None:
-                self._seq_eval = SequenceEvaluator(self.model, self.cfg,
-                                                   mesh=self.mesh)
+                self._seq_eval = SequenceEvaluator(
+                    self.model, self.cfg, mesh=self.mesh,
+                    adc_source=self._adc_eval_source())
             variables = {"params": self.state.params,
                          "batch_stats": self.state.batch_stats}
             return self._seq_eval.eval_batches(self.test_set, variables)
         return self._classic_eval_batches()
+
+    def _adc_eval_source(self):
+        """ADCFrameSource for fused-ADC sequence eval (TEST.sequenceSource:
+        adc) when the captures cover the test split; None -> cube planes.
+        Multi-host availability must AGREE (a host silently falling back
+        would run a different encode program and skew the schedule)."""
+        if getattr(self.cfg.TEST, "sequenceSource", "cubes") != "adc":
+            return None
+        from hupr_tpu.data.adc import ADCFrameSource
+        from hupr_tpu.engine.seq_eval import SequenceEvaluator
+        d = self.cfg.DATASET
+        rp = d.radar_params()       # raises on a geometry mismatch
+        adc = ADCFrameSource(d.adcDir, rp)
+        ok = SequenceEvaluator.adc_applicable(self.test_set, self.cfg, adc)
+        if self.n_proc > 1:
+            from hupr_tpu.parallel import multihost
+            multihost.assert_agreement("adc eval availability", float(ok))
+        if not ok:
+            print("==========>sequenceSource adc requested but the captures "
+                  f"under DATASET.adcDir={d.adcDir!r} don't cover the "
+                  "test split — cube planes")
+            return None
+        return adc
 
     def _consume_eval_batch(self, item, loss_list, save_preds,
                             visualization: bool, epoch: int):

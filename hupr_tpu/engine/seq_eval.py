@@ -28,6 +28,15 @@ Applicability (falls back to the classic loader otherwise):
 With a multi-device mesh, the encode program shards the frame axis and the
 pose program shards the window-batch axis (params replicated, encoded maps
 replicated between the two) whenever the axis divides the device count.
+
+FUSED ADC mode (TEST.sequenceSource: adc): the host ships raw int16 DCA1000
+capture slices instead of cube planes and the encode program runs decode +
+the full radar-cube DSP on device — evaluation straight from the sensor's
+.bin files with no offline .npy hop, completing BASELINE config #5 ("fused
+preprocessing -> train -> eval") for the eval half (training's twin is
+TRAINING.chunkSource, engine/chunk_train.py). Results equal the cube-fed
+path per tests/test_adc_eval.py (the cubes ARE the offline product of the
+same DSP, pinned bit-exact in test_dsp_differential.py).
 """
 
 from __future__ import annotations
@@ -95,6 +104,36 @@ def make_sequence_encoder(model, group: int, mesh=None):
     return jax.jit(encode, static_argnums=(5,))
 
 
+def make_adc_sequence_encoder(model, group: int, mesh=None,
+                              radar_params=None, num_frames: int = 8):
+    """Jitted (variables, hori, vert, pad_to) -> (ra_pad, re_pad) over RAW
+    int16 DCA1000 stream slices (F, frame_samples) per view: device-side
+    decode + radar-cube DSP (bit-exact vs the reference's generateHeatmap)
+    + normalize + MNet chirp encode in one program — the eval-side twin of
+    chunk_train.make_adc_frame_prep, deleting the offline .npy hop
+    (reference preprocessing/process_iwr1843.py:180-196) from evaluation.
+    Wire: 768 KB int16/frame vs ~4.2 MB f32 (2.1 MB bf16) cube planes."""
+    from hupr_tpu.engine.chunk_train import make_adc_frame_prep
+    from hupr_tpu.engine.pipeline import replicate_pad
+
+    prep = make_adc_frame_prep(radar_params, num_frames)
+
+    def encode(variables, hori, vert, pad_to: int):
+        ra, re_m = model.apply(variables, prep(hori), prep(vert),
+                               method="chirp_maps")
+        ra, re_m = ra[:, 0], re_m[:, 0]              # (F, R, A, Fc)
+        return (replicate_pad(ra, group, pad_to),
+                replicate_pad(re_m, group, pad_to))
+
+    if mesh is not None:
+        from hupr_tpu.parallel.mesh import batch_sharding, replicated
+        shard, rep = batch_sharding(mesh), replicated(mesh)
+        return jax.jit(encode, static_argnums=(3,),
+                       in_shardings=(rep, shard, shard),
+                       out_shardings=(rep, rep))
+    return jax.jit(encode, static_argnums=(3,))
+
+
 def make_window_eval_step(model, group: int, geometry=(14, 64, 256),
                           batch_size: int = 32, mesh=None):
     """Jitted (variables, ra_pad, re_pad, joints, mask, start) -> the
@@ -147,7 +186,10 @@ class SequenceEvaluator:
     eval_batches(dataset, variables) yields (out, image_ids, bbox, true_b)
     tuples equivalent to the classic device_prefetch + eval_step loop."""
 
-    def __init__(self, model, cfg, mesh=None):
+    def __init__(self, model, cfg, mesh=None, adc_source=None):
+        """`adc_source`: an ADCFrameSource (TEST.sequenceSource: adc) —
+        evaluation then ships raw int16 capture slices and runs the full
+        DSP on device instead of reading preprocessed .npy cubes."""
         from hupr_tpu.utils.transfer import transfer_dtype
         d = cfg.DATASET
         self.transfer_dtype = transfer_dtype(
@@ -156,6 +198,7 @@ class SequenceEvaluator:
         self.duration = d.duration
         self.batch_size = cfg.TEST.batchSize
         self.geometry = (d.numKeypoints, d.heatmapSize, d.imgSize)
+        self.adc = adc_source
         # shard only when BOTH axes divide the mesh (the flagship 600/32-on-8
         # case does) — all-or-nothing so the encode outputs and pose inputs
         # agree on placement; otherwise run single-program, still correct
@@ -167,7 +210,11 @@ class SequenceEvaluator:
         else:
             mesh = None
             self._shard = self._rep = None
-        self._encode = make_sequence_encoder(model, self.group, mesh)
+        if adc_source is not None:
+            self._encode = make_adc_sequence_encoder(
+                model, self.group, mesh, d.radar_params(), d.numFrames)
+        else:
+            self._encode = make_sequence_encoder(model, self.group, mesh)
         self._step = make_window_eval_step(model, self.group, self.geometry,
                                            self.batch_size, mesh)
 
@@ -183,10 +230,28 @@ class SequenceEvaluator:
         groups = sequence_groups(dataset.image_ids)
         return all(n == dataset.duration for _, n in groups)
 
+    @staticmethod
+    def adc_applicable(dataset, cfg, adc_source) -> bool:
+        """Fused-ADC eval additionally needs the capture .bin files to
+        cover the split (same gate as ADCChunkLoader.applicable)."""
+        if not SequenceEvaluator.applicable(dataset, cfg):
+            return False
+        return adc_source is not None and \
+            adc_source.available(dataset.image_ids)
+
     def _load_planes(self, dataset, start: int, length: int):
-        """Host side: per-frame (C, R, A, E) planes for one sequence, stacked
-        (the only host copies in the whole path: 4 MB/frame vs the loader's
-        33.6 MB/window)."""
+        """Host side: one sequence's frame payload — raw int16 capture
+        slices in ADC mode (768 KB/frame, the sensor-native floor), else
+        per-frame (C, R, A, E) cube planes (4 MB/frame f32; the classic
+        loader moves 33.6 MB/window)."""
+        if self.adc is not None:
+            out = []
+            for view in ("hori", "vert"):
+                arr = np.empty((length, self.adc.frame_samples), np.int16)
+                self.adc.read_frames(dataset.image_ids, start, length,
+                                     view, arr)
+                out.append(arr)
+            return out                               # [hori, vert] int16
         idx = range(start, start + length)
         out = []
         for paths in (dataset.paths_hori, dataset.paths_vert):
