@@ -222,40 +222,8 @@ def main():
 
     # ---- training throughput: flagship batch-20 fused train step
     if os.environ.get("BENCH_TRAIN", "1") != "0":
-        from hupr_tpu.config import Config
-        from hupr_tpu.engine.steps import (TrainState, make_optimizer,
-                                           make_train_step)
-        import jax.numpy as jnp
-
-        cfg = Config()
-        tx = make_optimizer(cfg)
-        # train_step donates its state: give it copies so the serving /
-        # streaming sections below keep their (shared) buffers alive
-        t_params = jax.tree.map(jnp.array, variables["params"])
-        state = TrainState(
-            params=t_params,
-            batch_stats=jax.tree.map(jnp.array,
-                                     variables.get("batch_stats", {})),
-            opt_state=tx.init(t_params),
-            step=jnp.zeros((), jnp.int32))
-        b = cfg.TRAINING.batchSize  # 20
-        tshape = (b, 8, 8, 2, 64, 64, 8)
-        batch = {
-            "hori": jax.device_put(
-                rng.standard_normal(tshape).astype(np.float32)),
-            "vert": jax.device_put(
-                rng.standard_normal(tshape).astype(np.float32)),
-            "jointsGroup": jax.device_put(rng.uniform(20, 230, (b, 14, 2))),
-        }
-        train_step = make_train_step(model, tx)
-        state, metrics = train_step(state, batch, 1e-4, 0.0)  # compile
-        assert np.isfinite(float(metrics["loss"])), "train loss non-finite"
-        train_reps = max(3, reps // 2)
-        t0 = time.perf_counter()
-        for _ in range(train_reps):
-            state, metrics = train_step(state, batch, 1e-4, 0.0)
-        float(metrics["loss"])  # host fetch -> true completion
-        dt = (time.perf_counter() - t0) / train_reps
+        dt, b, train_step, state, batch = _time_train_step(
+            model, variables, reps)
         result["train_ms_per_step"] = round(dt * 1000.0, 2)
         result["train_samples_per_sec"] = round(b / dt, 2)
 
@@ -350,7 +318,9 @@ def main():
         model_bf16 = HuPRNet(num_filters=32, attn_impl=attn,
                              dtype=jnp.bfloat16)
         run16 = make_e2e_infer(model_bf16, variables, duration=n_frames)
-        fetch(run16(*dev))  # compile
+        # same garbage-program guard as the f32 path: a NaN forward times
+        # identically but the recorded rate would describe nothing
+        assert np.isfinite(fetch(run16(*dev))), "bf16 e2e forward non-finite"
         t0 = time.perf_counter()
         out = None
         for _ in range(reps):
@@ -388,10 +358,13 @@ def _wire_dtype():
     return transfer_dtype(os.environ.get("BENCH_WIRE", "float32"))
 
 
-def _bench_train_bf16(model_bf16, variables, reps: int) -> float:
-    """ms/step of the flagship batch-20 train step with
-    MODEL.computeDtype=bfloat16 (same f32 params; matmul/conv compute in
-    bf16). The A/B partner of train_ms_per_step."""
+def _time_train_step(model, variables, reps: int):
+    """Flagship batch-20 fused train step: build donated state + synthetic
+    batch, compile (asserting a finite loss — a NaN program times the same
+    but measures garbage), and time it. One definition shared by the f32
+    and bf16-compute keys so the A/B can never drift on setup. Returns
+    (seconds/step, batch size, step fn, state, batch) — main() reuses the
+    compiled step for the FLOPs/MFU keys."""
     import jax
     import jax.numpy as jnp
 
@@ -401,6 +374,8 @@ def _bench_train_bf16(model_bf16, variables, reps: int) -> float:
 
     cfg = Config()
     tx = make_optimizer(cfg)
+    # train_step donates its state: give it copies so the serving /
+    # streaming sections keep their (shared) buffers alive
     params = jax.tree.map(jnp.array, variables["params"])
     state = TrainState(
         params=params,
@@ -408,22 +383,30 @@ def _bench_train_bf16(model_bf16, variables, reps: int) -> float:
         opt_state=tx.init(params),
         step=jnp.zeros((), jnp.int32))
     rng = np.random.default_rng(1)
-    b = cfg.TRAINING.batchSize
+    b = cfg.TRAINING.batchSize  # 20
     tshape = (b, 8, 8, 2, 64, 64, 8)
     batch = {
         "hori": jax.device_put(rng.standard_normal(tshape).astype(np.float32)),
         "vert": jax.device_put(rng.standard_normal(tshape).astype(np.float32)),
         "jointsGroup": jax.device_put(rng.uniform(20, 230, (b, 14, 2))),
     }
-    step = make_train_step(model_bf16, tx)
+    step = make_train_step(model, tx)
     state, metrics = step(state, batch, 1e-4, 0.0)  # compile
-    float(metrics["loss"])
+    assert np.isfinite(float(metrics["loss"])), "train loss non-finite"
     train_reps = max(3, reps // 2)
     t0 = time.perf_counter()
     for _ in range(train_reps):
         state, metrics = step(state, batch, 1e-4, 0.0)
-    float(metrics["loss"])
-    return (time.perf_counter() - t0) / train_reps * 1000.0
+    float(metrics["loss"])  # host fetch -> true completion
+    return ((time.perf_counter() - t0) / train_reps, b, step, state, batch)
+
+
+def _bench_train_bf16(model_bf16, variables, reps: int) -> float:
+    """ms/step of the flagship batch-20 train step with
+    MODEL.computeDtype=bfloat16 (same f32 params; matmul/conv compute in
+    bf16). The A/B partner of train_ms_per_step."""
+    dt, _, _, _, _ = _time_train_step(model_bf16, variables, reps)
+    return dt * 1000.0
 
 
 def _write_synthetic_dataset(root: str, duration: int, cubes: bool = True):
@@ -458,6 +441,25 @@ def _write_synthetic_dataset(root: str, duration: int, cubes: bool = True):
     return config_from_dict({"DATASET": {
         "duration": duration, "dataDir": root,
         "trainName": [1], "valName": [1], "testName": [1]}})
+
+
+def _write_synthetic_captures(cfg, root: str, duration: int, rp):
+    """Per-view raw int16 capture .bin files for the fused-ADC paths, wired
+    into cfg.DATASET.adcDir; returns the ADCFrameSource over them. One
+    definition so the train and eval ADC benches can never drift apart on
+    capture geometry/layout."""
+    from hupr_tpu.data.adc import ADCFrameSource
+
+    adc_root = os.path.join(root, "raw")
+    cfg.DATASET.adcDir = adc_root
+    rng = np.random.default_rng(0)
+    s = 2 * rp.num_rx * rp.num_chirp * rp.num_adc_samples
+    for view in ("hori", "vert"):
+        d = os.path.join(adc_root, "single_1", view)
+        os.makedirs(d, exist_ok=True)
+        rng.integers(-300, 300, (duration * s,)).astype(
+            np.int16).tofile(os.path.join(d, "adc_data.bin"))
+    return ADCFrameSource(adc_root, rp)
 
 
 def _bench_loader(duration: int = 24, batch: int = 8, workers: int = 4):
@@ -632,7 +634,6 @@ def _bench_adc_epoch(model, variables, duration: int = 60):
     import jax.numpy as jnp
 
     from hupr_tpu.data import get_dataset
-    from hupr_tpu.data.adc import ADCFrameSource
     from hupr_tpu.engine.chunk_train import (ADCChunkLoader,
                                              device_put_chunk,
                                              make_adc_chunk_train_step)
@@ -643,15 +644,7 @@ def _bench_adc_epoch(model, variables, duration: int = 60):
     try:
         cfg = _write_synthetic_dataset(root, duration, cubes=False)
         rp = RadarParams()
-        adc_root = os.path.join(root, "raw")
-        cfg.DATASET.adcDir = adc_root
-        rng = np.random.default_rng(0)
-        s = 2 * rp.num_rx * rp.num_chirp * rp.num_adc_samples
-        for view in ("hori", "vert"):
-            d = os.path.join(adc_root, "single_1", view)
-            os.makedirs(d, exist_ok=True)
-            rng.integers(-300, 300, (duration * s,)).astype(
-                np.int16).tofile(os.path.join(d, "adc_data.bin"))
+        src = _write_synthetic_captures(cfg, root, duration, rp)
 
         b = cfg.TRAINING.batchSize  # 20, the flagship recipe
         dd = cfg.DATASET
@@ -666,7 +659,6 @@ def _bench_adc_epoch(model, variables, duration: int = 60):
         step = make_adc_chunk_train_step(
             model, tx, (dd.numKeypoints, dd.heatmapSize, dd.imgSize),
             radar_params=rp, num_frames=dd.numFrames)
-        src = ADCFrameSource(adc_root, rp)
 
         def one_epoch(ds, state):
             loader = ADCChunkLoader(ds, b, src, shuffle=True, seed=0)
@@ -719,20 +711,9 @@ def _bench_seq_eval(model, variables, duration: int = 64,
         cfg.SETUP.transferDtype = wire_name
         src = None
         if adc:
-            from hupr_tpu.data.adc import ADCFrameSource
             from hupr_tpu.ops.dsp import RadarParams
-
-            rp = RadarParams()
-            adc_root = os.path.join(root, "raw")
-            cfg.DATASET.adcDir = adc_root
-            rng = np.random.default_rng(0)
-            s = 2 * rp.num_rx * rp.num_chirp * rp.num_adc_samples
-            for view in ("hori", "vert"):
-                d = os.path.join(adc_root, "single_1", view)
-                os.makedirs(d, exist_ok=True)
-                rng.integers(-300, 300, (duration * s,)).astype(
-                    np.int16).tofile(os.path.join(d, "adc_data.bin"))
-            src = ADCFrameSource(adc_root, rp)
+            src = _write_synthetic_captures(cfg, root, duration,
+                                            RadarParams())
         ev = SequenceEvaluator(model, cfg, adc_source=src)
 
         def one_pass(ds):

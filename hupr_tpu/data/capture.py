@@ -86,9 +86,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.hupr_cap_frames_ready.argtypes = [ctypes.c_void_p]
             lib.hupr_cap_read_frame.restype = ctypes.c_int
             lib.hupr_cap_read_frame.argtypes = [
-                ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_long)]
             lib.hupr_cap_stats.argtypes = [ctypes.c_void_p] + \
-                [ctypes.POINTER(ctypes.c_long)] * 5
+                [ctypes.POINTER(ctypes.c_long)] * 7
         except (OSError, AttributeError):
             return None
         _lib = lib
@@ -138,6 +139,8 @@ class _NumpyEngine:
         self.watermark = 0
         self.packets = self.bytes = self.late_bytes = 0
         self.overflow_frames = self.reordered = 0
+        self.rejected = self.resyncs = 0
+        self._resync_candidate = -1
         self._last_seq = 0
 
     def _drop_oldest(self):
@@ -164,6 +167,28 @@ class _NumpyEngine:
             skip = self.base - off
             self.late_bytes += skip
             payload, off, n = payload[skip:], self.base, n - skip
+        # far-ahead offsets (corrupted header OR a genuine forward jump)
+        # need a second agreeing packet before the bounded resync moves
+        # base — a lone corrupted offset must not wipe the ring or spin the
+        # drop loop (see native/dca1000.cc, the twin of this logic)
+        if off > self.watermark + self.capacity:
+            if (self._resync_candidate >= 0
+                    and self._resync_candidate <= off
+                    <= self._resync_candidate + self.capacity):
+                self.overflow_frames += ((self.watermark - self.base)
+                                         // self.frame_bytes)
+                self.ring[:] = 0
+                self.base = (off // self.frame_bytes) * self.frame_bytes
+                self.watermark = self.base
+                self._resync_candidate = -1
+                self.resyncs += 1
+            else:
+                self._resync_candidate = off
+                self.rejected += 1
+                return 0
+        else:
+            self._resync_candidate = -1
+        # bounded: off <= watermark + capacity => at most ring_frames+1 drops
         while off + n > self.base + self.capacity:
             self._drop_oldest()
             self.overflow_frames += 1
@@ -176,19 +201,21 @@ class _NumpyEngine:
     def frames_ready(self) -> int:
         return (self.watermark - self.base) // self.frame_bytes
 
-    def read_frame(self) -> Optional[np.ndarray]:
+    def read_frame(self) -> Optional[tuple]:
         if self.watermark - self.base < self.frame_bytes:
             return None
         idx = (self.base + np.arange(self.frame_bytes)) % self.capacity
         out = self.ring[idx].copy()
+        frame_idx = self.base // self.frame_bytes
         self._drop_oldest()
-        return out
+        return out, frame_idx
 
     def stats(self) -> dict:
         return dict(packets=self.packets, bytes=self.bytes,
                     late_bytes=self.late_bytes,
                     overflow_frames=self.overflow_frames,
-                    reordered=self.reordered)
+                    reordered=self.reordered, rejected=self.rejected,
+                    resyncs=self.resyncs)
 
 
 class _NativeEngine:
@@ -210,17 +237,19 @@ class _NativeEngine:
     def frames_ready(self) -> int:
         return self._lib.hupr_cap_frames_ready(self._h)
 
-    def read_frame(self) -> Optional[np.ndarray]:
+    def read_frame(self) -> Optional[tuple]:
         out = np.empty(self.frame_bytes, np.uint8)
+        idx = ctypes.c_long()
         ok = self._lib.hupr_cap_read_frame(
-            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-        return out if ok else None
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.byref(idx))
+        return (out, idx.value) if ok else None
 
     def stats(self) -> dict:
-        vals = [ctypes.c_long() for _ in range(5)]
+        vals = [ctypes.c_long() for _ in range(7)]
         self._lib.hupr_cap_stats(self._h, *[ctypes.byref(v) for v in vals])
         keys = ("packets", "bytes", "late_bytes", "overflow_frames",
-                "reordered")
+                "reordered", "rejected", "resyncs")
         return dict(zip(keys, (v.value for v in vals)))
 
 
@@ -253,10 +282,21 @@ class PacketReassembler:
 
     def read_frame(self) -> Optional[np.ndarray]:
         """Oldest buffered frame as (frame_samples,) int16, or None."""
-        raw = self._eng.read_frame()
-        if raw is None:
+        got = self.read_frame_indexed()
+        return None if got is None else got[1]
+
+    def read_frame_indexed(self) -> Optional[tuple]:
+        """(frame_index, frame) of the oldest buffered frame, or None.
+        The index is the frame's absolute position in the capture stream
+        (byte offset / frame bytes) — NOT contiguous across overflow drops
+        or resyncs, which is exactly what lets a consumer re-align two
+        independent per-view streams after an asymmetric drop
+        (scripts/live_serve.py)."""
+        got = self._eng.read_frame()
+        if got is None:
             return None
-        return raw.view(np.int16)
+        raw, idx = got
+        return idx, raw.view(np.int16)
 
     def frames(self) -> Iterator[np.ndarray]:
         """Drain every currently-complete frame."""
@@ -331,13 +371,21 @@ class UDPCaptureSource:
     def frames(self, n: int, timeout: float = 10.0) -> Iterator[np.ndarray]:
         """Yield the next `n` frames; raises TimeoutError if no new frame
         completes within `timeout` seconds."""
+        for _, frame in self.frames_indexed(n, timeout):
+            yield frame
+
+    def frames_indexed(self, n: int,
+                       timeout: float = 10.0) -> Iterator[tuple]:
+        """Yield (frame_index, frame) for the next `n` frames; the index is
+        the frame's absolute stream position (gaps mark drops/resyncs).
+        Raises TimeoutError if no new frame completes within `timeout`."""
         import time
         for _ in range(n):
             deadline = time.monotonic() + timeout
             with self._cv:
                 while True:
-                    frame = self.reassembler.read_frame()
-                    if frame is not None:
+                    got = self.reassembler.read_frame_indexed()
+                    if got is not None:
                         break
                     remaining = deadline - time.monotonic()
                     if remaining <= 0:
@@ -345,7 +393,7 @@ class UDPCaptureSource:
                             f"no frame within {timeout}s "
                             f"(stats={self.reassembler.stats()})")
                     self._cv.wait(remaining)
-            yield frame
+            yield got
 
     def __exit__(self, *exc):
         self._closed = True

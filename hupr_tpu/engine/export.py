@@ -93,6 +93,8 @@ def load_artifact(path: str):
 def artifact_info(blob: bytes) -> dict:
     """Cheap introspection of an artifact (no compile): input/output shapes,
     embedded platforms, calling-convention version."""
+    if not blob.startswith(MAGIC):
+        raise ValueError("not a hupr_tpu serving artifact (bad magic)")
     exported = jexport.deserialize(bytearray(blob[len(MAGIC):]))
     return {
         "platforms": list(exported.platforms),

@@ -27,6 +27,7 @@
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 -o libhupr_dca1000.so dca1000.cc
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <mutex>
@@ -41,12 +42,18 @@ struct Capture {
   std::vector<uint8_t> ring;  // zero-initialized; consumed spans re-zeroed
   long base = 0;            // stream offset of the oldest unread frame
   long watermark = 0;       // highest stream offset written (exclusive)
+  // far-ahead offset confirmation (see hupr_cap_feed): first sighting of a
+  // jump beyond one ring past the watermark, awaiting a second agreeing
+  // packet before the (bounded) resync is allowed to move base
+  long resync_candidate = -1;
   // stats
   long packets = 0;
   long bytes = 0;           // payload bytes accepted into the ring
   long late_bytes = 0;      // payload below base on arrival (too old)
   long overflow_frames = 0; // unread frames discarded to make room
   long reordered = 0;       // packets whose seq went backwards
+  long rejected = 0;        // unconfirmed far-ahead offsets dropped
+  long resyncs = 0;         // confirmed forward jumps (base snapped ahead)
   uint32_t last_seq = 0;
 };
 
@@ -107,7 +114,35 @@ long hupr_cap_feed(void* h, const uint8_t* pkt, long len) {
     off += skip;
     n -= skip;
   }
-  // make room: discard oldest unread frames until the payload fits
+  // An offset beyond one full ring past the newest byte written is either
+  // a corrupted header or a genuine forward jump (reader stalled long
+  // enough for the kernel to drop more than a ring of stream). A single
+  // corrupted packet must not wipe the ring or spin the drop loop for
+  // minutes under the lock (off ~ 2^40 did exactly that), so far offsets
+  // need CONFIRMATION: the first is dropped but remembered; a second
+  // packet agreeing with it (within one ring span) triggers a bounded
+  // resync — zero the ring, snap base to the new region's frame boundary.
+  // Random corruption never produces two agreeing far offsets; a real jump
+  // confirms on the very next datagram.
+  if (off > c->watermark + c->capacity) {
+    if (c->resync_candidate >= 0 && off >= c->resync_candidate &&
+        off <= c->resync_candidate + c->capacity) {
+      c->overflow_frames += (c->watermark - c->base) / c->frame_bytes;
+      std::fill(c->ring.begin(), c->ring.end(), 0);
+      c->base = (off / c->frame_bytes) * c->frame_bytes;
+      c->watermark = c->base;
+      c->resync_candidate = -1;
+      c->resyncs++;
+    } else {
+      c->resync_candidate = off;
+      c->rejected++;
+      return 0;
+    }
+  } else {
+    c->resync_candidate = -1;  // normal traffic clears a stale candidate
+  }
+  // make room: discard oldest unread frames until the payload fits. With
+  // off <= watermark + capacity this runs at most ring_frames + 1 times.
   while (off + n > c->base + c->capacity) {
     drop_oldest(c);
     c->overflow_frames++;
@@ -125,20 +160,24 @@ long hupr_cap_frames_ready(void* h) {
   return (c->watermark - c->base) / c->frame_bytes;
 }
 
-// Pop the oldest frame into `out` (frame_bytes bytes). Spans never
-// received read as zeros. Returns 1 on success, 0 when no complete frame
-// is buffered.
-int hupr_cap_read_frame(void* h, uint8_t* out) {
+// Pop the oldest frame into `out` (frame_bytes bytes) and its absolute
+// stream index (byte offset / frame_bytes) into `frame_idx` — the index is
+// what lets a consumer ALIGN two independent capture streams (hori/vert)
+// after asymmetric drops. Spans never received read as zeros. Returns 1 on
+// success, 0 when no complete frame is buffered.
+int hupr_cap_read_frame(void* h, uint8_t* out, long* frame_idx) {
   Capture* c = static_cast<Capture*>(h);
   std::lock_guard<std::mutex> lock(c->mu);
   if (c->watermark - c->base < c->frame_bytes) return 0;
   for (long i = 0; i < c->frame_bytes; i++) out[i] = *slot(c, c->base + i);
+  if (frame_idx) *frame_idx = c->base / c->frame_bytes;
   drop_oldest(c);
   return 1;
 }
 
 void hupr_cap_stats(void* h, long* packets, long* bytes, long* late_bytes,
-                    long* overflow_frames, long* reordered) {
+                    long* overflow_frames, long* reordered, long* rejected,
+                    long* resyncs) {
   Capture* c = static_cast<Capture*>(h);
   std::lock_guard<std::mutex> lock(c->mu);
   *packets = c->packets;
@@ -146,6 +185,8 @@ void hupr_cap_stats(void* h, long* packets, long* bytes, long* late_bytes,
   *late_bytes = c->late_bytes;
   *overflow_frames = c->overflow_frames;
   *reordered = c->reordered;
+  *rejected = c->rejected;
+  *resyncs = c->resyncs;
 }
 
 }  // extern "C"

@@ -24,8 +24,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from hupr_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache(jax, "/tmp/jax_bench_cache")
 
 
 def main():
@@ -68,8 +69,10 @@ def main():
         }
         step = make_train_step(model, tx)
         try:
-            flops = float(step.lower(state, batch, 1e-4, 0.0).compile()
-                          .cost_analysis().get("flops", 0.0))
+            # bench.py's helper: handles the older-jax [dict] return shape
+            # and degrades to 0.0 instead of aborting the measurement
+            from bench import _compiled_flops
+            flops = _compiled_flops(step, state, batch)
             state, metrics = step(state, batch, 1e-4, 0.0)
             loss = float(metrics["loss"])
             assert np.isfinite(loss), f"non-finite loss at B={b}"

@@ -63,6 +63,8 @@ def main():
                     help="replay a synthetic capture over loopback")
     ap.add_argument("--replay", default=None,
                     help="replay {dir}/{hori,vert}/adc_data.bin over loopback")
+    ap.add_argument("--ring-frames", type=int, default=16,
+                    help="reassembler ring depth (frames buffered per view)")
     ap.add_argument("--platform", default=None,
                     help="cpu forces the CPU backend (smoke runs)")
     args = ap.parse_args()
@@ -81,6 +83,12 @@ def main():
     from hupr_tpu.utils.synthetic import synthetic_variables
 
     cfg = load_config(resolve_config_path(args.config))
+    if args.platform == "cpu" and \
+            getattr(cfg.MODEL, "attention", "xla") == "pallas":
+        # pallas kernels don't lower on the CPU backend (interpret mode
+        # only); smoke runs get the XLA einsum attention instead
+        print("live_serve: cpu platform — MODEL.attention pallas -> xla")
+        cfg.MODEL.attention = "xla"
     d = cfg.DATASET
     rp = d.radar_params() if hasattr(d, "radar_params") else None
     if rp is None:
@@ -105,12 +113,28 @@ def main():
                                  group=d.numGroupFrames,
                                  num_frames=d.numFrames)
 
+    # compile BEFORE any packet arrives: the first process_frame call takes
+    # seconds-to-minutes (cold cache) while the capture keeps streaming —
+    # without this warmup a replay overruns the ring during the compile and
+    # frames() dies on an empty stream instead of serving
+    print("live_serve: warming up (compiling first_step + step)...",
+          flush=True)
+    zero = (np.zeros((rp.num_rx, rp.num_chirp, rp.num_adc_samples),
+                     np.int16),) * 2
+    for _ in range(2):
+        est.process_frame(zero, zero)
+    est.reset()
+
+    replaying = bool(args.synthetic or args.replay)
+    # a replay pushes all frames immediately; size the ring to hold them
+    ring = max(args.ring_frames, args.frames + 2) if replaying \
+        else args.ring_frames
     with UDPCaptureSource(frame_samples, port=args.hori_port,
-                          host="127.0.0.1" if (args.synthetic or args.replay)
-                          else "0.0.0.0") as hori_src, \
+                          host="127.0.0.1" if replaying else "0.0.0.0",
+                          ring_frames=ring) as hori_src, \
          UDPCaptureSource(frame_samples, port=args.vert_port,
-                          host="127.0.0.1" if (args.synthetic or args.replay)
-                          else "0.0.0.0") as vert_src:
+                          host="127.0.0.1" if replaying else "0.0.0.0",
+                          ring_frames=ring) as vert_src:
 
         if args.synthetic or args.replay:
             if args.replay:
@@ -130,15 +154,32 @@ def main():
               f"{frame_samples} int16/frame, serving {args.frames} frames")
         t0 = time.perf_counter()
         n = 0
-        hori_it = hori_src.frames(args.frames, timeout=30.0)
-        vert_it = vert_src.frames(args.frames, timeout=30.0)
-        for hf, vf in zip(hori_it, vert_it):
-            pred, maxv = est.process_frame(stream_to_iq_planes(hf, rp),
-                                           stream_to_iq_planes(vf, rp))
-            n += 1
-            if n in (1, args.frames) or n % 16 == 0:
-                print(f"frame {n:4d}: keypoint[0]={np.asarray(pred)[0]}, "
-                      f"max={float(np.asarray(maxv).max()):.4f}")
+        # pair the two views by ABSOLUTE stream frame index, not arrival
+        # order: an asymmetric drop (ring overflow on one port) would
+        # otherwise silently shift every subsequent pose by a frame
+        hori_it = hori_src.frames_indexed(2 * args.frames, timeout=30.0)
+        vert_it = vert_src.frames_indexed(2 * args.frames, timeout=30.0)
+        try:
+            while n < args.frames:
+                hidx, hf = next(hori_it)
+                vidx, vf = next(vert_it)
+                while hidx != vidx:
+                    print(f"resync: hori@{hidx} vert@{vidx} — skipping the "
+                          "older view frame")
+                    if hidx < vidx:
+                        hidx, hf = next(hori_it)
+                    else:
+                        vidx, vf = next(vert_it)
+                pred, maxv = est.process_frame(stream_to_iq_planes(hf, rp),
+                                               stream_to_iq_planes(vf, rp))
+                n += 1
+                if n in (1, args.frames) or n % 16 == 0:
+                    print(f"frame {n:4d} (stream idx {hidx}): "
+                          f"keypoint[0]={np.asarray(pred)[0]}, "
+                          f"max={float(np.asarray(maxv).max()):.4f}")
+        except (StopIteration, TimeoutError) as exc:
+            print(f"capture ended early after {n} aligned frames: "
+                  f"{type(exc).__name__} {exc}")
         list(est.flush())   # drain the end-of-sequence lookahead poses
         dt = time.perf_counter() - t0
         print(f"served {n} frames in {dt:.2f}s = {n / dt:.1f} fps "

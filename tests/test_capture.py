@@ -105,6 +105,77 @@ def test_stale_and_malformed_packets(engine):
     assert r.feed(b"\x01\x02\x03") == -1
 
 
+def test_corrupted_offset_rejected_stream_survives(engine):
+    """A single datagram with a garbage 48-bit offset (bit-flipped header)
+    must be DROPPED — not spin the drop-oldest loop for ~2^40/frame_bytes
+    iterations under the lock, and not snap base so far ahead that every
+    genuine packet afterwards reads as 'late' forever."""
+    stream = _stream(2, seed=10)
+    pkts = packetize(stream, PAYLOAD)
+    r = PacketReassembler(FRAME_SAMPLES, native=engine)
+    r.feed(pkts[0])
+    evil = pkts[0][:4] + int(1 << 40).to_bytes(6, "little") + b"\xff" * 64
+    assert r.feed(evil) == 0                  # dropped, unconfirmed
+    for pkt in pkts[1:]:                      # the real stream continues
+        assert r.feed(pkt) > 0
+    got = list(r.frames())
+    assert len(got) == 2
+    np.testing.assert_array_equal(np.concatenate(got), stream)
+    s = r.stats()
+    assert s["rejected"] == 1 and s["resyncs"] == 0
+
+
+def test_confirmed_forward_jump_resyncs(engine):
+    """Two agreeing far-ahead offsets = a genuine stream jump (e.g. the
+    kernel dropped more than a ring of packets during a stall): the ring
+    resyncs to the new region and frames flow again at the right indexes."""
+    frames_ahead = 1000
+    jump = frames_ahead * FRAME_SAMPLES * 2   # bytes
+    stream = _stream(2, seed=11)
+    r = PacketReassembler(FRAME_SAMPLES, native=engine)
+    pkts = packetize(stream, PAYLOAD)
+    r.feed(pkts[0])                           # some pre-jump traffic
+    far = []
+    for pkt in pkts:                          # same payloads, offset += jump
+        seq, off = pkt[:4], int.from_bytes(pkt[4:10], "little")
+        far.append(seq + (off + jump).to_bytes(6, "little") + pkt[10:])
+    assert r.feed(far[0]) == 0                # first sighting: held back
+    for pkt in far[1:]:                       # second agrees -> resync
+        assert r.feed(pkt) > 0
+    idx_frames = []
+    while True:
+        got = r.read_frame_indexed()
+        if got is None:
+            break
+        idx_frames.append(got)
+    # frame 0 of the far region re-sends bytes [jump+0, ...) but far[0] was
+    # held back for confirmation, so its span is zero-filled; frame 1 is
+    # complete and must carry the post-jump absolute index
+    assert [i for i, _ in idx_frames] == [frames_ahead, frames_ahead + 1]
+    np.testing.assert_array_equal(idx_frames[1][1],
+                                  stream[FRAME_SAMPLES:])
+    s = r.stats()
+    assert s["resyncs"] == 1 and s["rejected"] == 1
+
+
+def test_read_frame_indexed_gaps_mark_drops(engine):
+    """Absolute stream indexes expose overflow drops (the alignment signal
+    scripts/live_serve.py pairs the hori/vert views with)."""
+    stream = _stream(5, seed=12)
+    r = PacketReassembler(FRAME_SAMPLES, ring_frames=2, native=engine)
+    for pkt in packetize(stream, PAYLOAD):
+        r.feed(pkt)
+    got = []
+    while True:
+        f = r.read_frame_indexed()
+        if f is None:
+            break
+        got.append(f)
+    assert [i for i, _ in got] == [3, 4]      # frames 0-2 dropped (ring=2)
+    np.testing.assert_array_equal(got[0][1],
+                                  stream[3 * FRAME_SAMPLES:4 * FRAME_SAMPLES])
+
+
 @pytest.mark.skipif(not native_available(), reason="no native toolchain")
 def test_native_matches_numpy_engine_bit_for_bit():
     """Same adversarial feed order -> identical frames AND stats."""
