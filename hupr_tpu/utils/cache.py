@@ -15,7 +15,7 @@ from __future__ import annotations
 import hashlib
 
 
-def machine_cache_dir(base: str) -> str:
+def machine_cache_dir(base: str, cpuinfo: str = "/proc/cpuinfo") -> str:
     """`base` suffixed with a stable hash of this host's CPU model + feature
     flags (falls back to `base` when /proc/cpuinfo is unavailable).
 
@@ -23,19 +23,28 @@ def machine_cache_dir(base: str) -> str:
     (+prefer-no-scatter/-gather are chosen per detected MICROARCH via
     cpuid), so two VMs with an identical templated cpuinfo can still
     reject each other's entries — observed on this image's migrating
-    firecracker hosts. The compiler's -march=native resolution reads the
-    same cpuid the XLA host detector does, so fold it in alongside the
-    cpuinfo lines (each source degrades gracefully when unavailable)."""
-    parts = []
+    firecracker hosts. LLVM's host detector keys those choices on the raw
+    cpuid (family, model), which firecracker passes through even though it
+    templates the model-name string — and which gcc's -march=native
+    resolution is too coarse to distinguish (observed: Emerald Rapids
+    family 6 model 207 and an earlier host both resolve to 'cooperlake'
+    while LLVM gives them different prefer-no-scatter/gather tunings). So
+    the key folds in vendor/family/model/stepping alongside the flag set
+    and the march name (each source degrades gracefully when missing)."""
+    wanted = ("vendor_id", "cpu family", "model", "model name", "stepping",
+              "flags")
+    seen = {}
     try:
-        with open("/proc/cpuinfo") as fp:
+        with open(cpuinfo) as fp:
             for line in fp:
-                if line.startswith(("flags", "model name")):
-                    parts.append(line)
-                    if len(parts) == 2:
+                key = line.split(":", 1)[0].strip()
+                if key in wanted and key not in seen:
+                    seen[key] = line
+                    if len(seen) == len(wanted):
                         break
     except OSError:
         pass
+    parts = list(seen.values())
     parts.append(_native_march())
     blob = "".join(sorted(parts))
     if blob:

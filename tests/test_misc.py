@@ -190,3 +190,33 @@ def test_scaffold_creates_reference_tree(tmp_path, monkeypatch):
         for sub in ("vert", "hori", "annot", "visualization"):
             assert (tmp_path / f"data/HuPR/single_{i}" / sub).is_dir()
     assert not (tmp_path / "data/HuPR/single_4").exists()
+
+
+def test_machine_cache_key_discriminates_cpuid_model(tmp_path):
+    """Two hosts with identical templated flags/model-name but different
+    raw cpuid (family, model) — the firecracker migration case that made
+    XLA's CPU AOT cache reject same-day entries with multi-KB ERROR walls
+    (DEVNOTES round-4) — must land in DIFFERENT cache dirs. gcc's
+    -march=native is too coarse to tell them apart (both resolve to
+    'cooperlake'); the raw model number is the discriminator."""
+    from hupr_tpu.utils.cache import machine_cache_dir
+
+    def cpuinfo(model):
+        p = tmp_path / f"cpuinfo_{model}"
+        p.write_text(
+            "vendor_id\t: GenuineIntel\n"
+            "cpu family\t: 6\n"
+            f"model\t\t: {model}\n"
+            "model name\t: Intel(R) Xeon(R) Processor @ 2.10GHz\n"
+            "stepping\t: 2\n"
+            "flags\t\t: fpu vme de pse tsc avx512f amx-bf16\n")
+        return str(p)
+
+    a = machine_cache_dir("/tmp/c", cpuinfo=cpuinfo(207))   # Emerald Rapids
+    b = machine_cache_dir("/tmp/c", cpuinfo=cpuinfo(143))   # Sapphire Rapids
+    a2 = machine_cache_dir("/tmp/c", cpuinfo=cpuinfo(207))
+    assert a != b                      # cpuid model discriminates
+    assert a == a2                     # and the key is stable
+    assert a.startswith("/tmp/c_") and b.startswith("/tmp/c_")
+    # unreadable cpuinfo still degrades to a usable (march-only) key
+    assert machine_cache_dir("/tmp/c", cpuinfo=str(tmp_path / "absent"))
