@@ -49,8 +49,10 @@ other BASELINE configs:
     a 2-frame mean — cross-round vs_baseline comparisons are not
     like-for-like across those definition changes)
   train_tflops_per_step / train_tflops_per_sec / train_mfu_vs_bf16_peak —
-    XLA cost-model FLOPs of the compiled train step and the sustained rate
-    vs the chip's bf16 peak (BENCH_PEAK_TFLOPS, default 197 = v5e)
+    XLA cost-model FLOPs of the compiled train step (plus the Pallas
+    attentions' flops, invisible to cost_analysis — see
+    ops/attention.mscsa_attention_flops) and the sustained rate vs the
+    chip's bf16 peak (BENCH_PEAK_TFLOPS, default 197 = v5e)
   *_bf16wire — chunk-epoch / seq-eval with SETUP.transferDtype=bfloat16
     (half the host->device bytes; the best shippable transfer-bound config)
   e2e_frames_per_sec_bf16compute / train_ms_per_step_bf16compute —
@@ -236,6 +238,14 @@ def main():
         # hiding it behind an f32 peak.
         flops = _compiled_flops(train_step, state, batch)
         if flops > 0:
+            # cost_analysis() sees zero flops inside custom calls, so when
+            # the decoder runs Pallas attention its 12 fused attentions
+            # (fwd+bwd under autodiff) must be added by hand — otherwise
+            # the MFU key silently understates exactly when the fast path
+            # is on (ops/attention.FWD_MATMULS/BWD_MATMULS derivation).
+            if attn == "pallas":
+                from hupr_tpu.ops.attention import mscsa_attention_flops
+                flops += mscsa_attention_flops(b, include_backward=True)
             peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
             result["train_tflops_per_step"] = round(flops / 1e12, 3)
             result["train_tflops_per_sec"] = round(flops / dt / 1e12, 2)

@@ -27,6 +27,40 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# MXU matmul count per kernel invocation, as multiples of one (N,N)x(N,C)
+# product's 2*N*N*C flops: the forward runs kq^T + p^T m (2); the backward
+# recomputes logits, then da, dq, dk, dm (5). The kernels' CostEstimates and
+# the MFU accounting in bench.py both derive from these — XLA's compiled
+# cost_analysis() does NOT see inside custom calls, so Pallas flops must be
+# added to its total explicitly.
+FWD_MATMULS = 2
+BWD_MATMULS = 5
+
+
+def attention_flops(b: int, n: int, c: int,
+                    include_backward: bool = False) -> int:
+    """FLOPs one fused spatial attention executes per step (fwd, or fwd+bwd
+    when it runs under autodiff)."""
+    factor = FWD_MATMULS + (BWD_MATMULS if include_backward else 0)
+    return 2 * b * n * n * c * factor
+
+
+def mscsa_attention_flops(batch: int, heatmap_size: int = 64,
+                          num_filters: int = 32,
+                          include_backward: bool = False) -> int:
+    """Total Pallas-attention FLOPs of one HuPRNet forward (optionally
+    fwd+bwd): 4 attentions at each of the MSCSA decoder's three scales —
+    (H/4)^2 positions at 8F channels, (H/2)^2 at 4F, H^2 at 2F
+    (models/mscsa.py). Used by bench.py to correct cost_analysis()-based
+    MFU keys when MODEL.attention is pallas."""
+    total = 0
+    for div, cmul in ((4, 8), (2, 4), (1, 2)):
+        n = (heatmap_size // div) ** 2
+        total += 4 * attention_flops(batch, n, num_filters * cmul,
+                                     include_backward)
+    return total
+
+
 def _make_attn_kernel(mxu_bf16: bool):
     def _attn_kernel(k_ref, q_ref, m_ref, o_ref):
         k = k_ref[0]                      # (N, C)
@@ -68,7 +102,7 @@ def _attention_fwd_pallas(k, q, m, q_block: int, interpret: bool,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, c), m.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * n * n * c * 2,
+            flops=2 * b * n * n * c * FWD_MATMULS,
             bytes_accessed=(3 * b * n * c + b * n * c) * 4,
             transcendentals=b * n * n,
         ),
@@ -164,7 +198,7 @@ def _attention_bwd_pallas(k, q, m, g, q_block: int, interpret: bool,
                    jax.ShapeDtypeStruct((b, n, c), q.dtype),
                    jax.ShapeDtypeStruct((b, n, c), jnp.float32)),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * n * n * c * 5,
+            flops=2 * b * n * n * c * BWD_MATMULS,
             bytes_accessed=7 * b * n * c * 4,
             transcendentals=b * n * n,
         ),

@@ -73,6 +73,11 @@ def main():
             # and degrades to 0.0 instead of aborting the measurement
             from bench import _compiled_flops
             flops = _compiled_flops(step, state, batch)
+            if flops > 0:
+                # cost_analysis can't see inside the Pallas custom calls;
+                # add the decoder's 12 fwd+bwd attentions explicitly
+                from hupr_tpu.ops.attention import mscsa_attention_flops
+                flops += mscsa_attention_flops(b, include_backward=True)
             state, metrics = step(state, batch, 1e-4, 0.0)
             loss = float(metrics["loss"])
             assert np.isfinite(loss), f"non-finite loss at B={b}"

@@ -87,3 +87,26 @@ def test_pallas_attention_bf16_grads_accumulate_in_f32():
     from hupr_tpu.ops.attention import _attention_bwd_pallas
     dk, dq, dm = _attention_bwd_pallas(kb, qb, mb, mb, 64, True, False)
     assert dk.dtype == jnp.float32 and dm.dtype == jnp.float32
+
+
+def test_mscsa_attention_flops_accounting():
+    """bench.py adds these by hand to cost_analysis() (custom calls report
+    zero flops); pin the derivation so the MFU key can't silently drift from
+    the decoder geometry (models/mscsa.py: 4 attentions per scale at
+    N=256/1024/4096, C=8F/4F/2F)."""
+    from hupr_tpu.ops.attention import (attention_flops,
+                                        mscsa_attention_flops)
+
+    # one attention = kq^T (N,C)x(C,N) + p^T m (N,N)x(N,C): 2 matmuls fwd
+    assert attention_flops(2, 256, 64) == 2 * 2 * 256 * 256 * 64 * 2
+    # backward recomputes logits and forms da/dq/dk/dm: 5 more
+    assert attention_flops(1, 16, 8, include_backward=True) == \
+        2 * 16 * 16 * 8 * 7
+
+    b, f = 20, 32
+    expected = 0
+    for n, c in ((16 * 16, 8 * f), (32 * 32, 4 * f), (64 * 64, 2 * f)):
+        expected += 4 * 2 * b * n * n * c * 2
+    assert mscsa_attention_flops(b) == expected
+    assert mscsa_attention_flops(b, include_backward=True) == \
+        expected * 7 // 2
