@@ -195,10 +195,40 @@ def config_from_dict(d: dict) -> Config:
     )
 
 
-def load_config(path: str) -> Config:
+def _deep_merge(base: dict, override: dict) -> dict:
+    """Override wins; dict values merge recursively (so a variant config can
+    set MODEL.attention without restating MODEL.numFilters)."""
+    out = dict(base)
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def load_config_dict(path: str, _seen=()) -> dict:
+    """YAML -> dict, honoring an optional top-level `BASE: <file>` include
+    (resolved relative to the including file's directory; chains allowed).
+    Additive over the reference's schema: configs without BASE parse
+    identically, and the TPU variant configs stay small overlays instead of
+    triplicating the 235-line sequence-split lists."""
+    real = os.path.realpath(path)
+    if real in _seen:
+        raise ValueError(f"config BASE include cycle at {path}")
     with open(path, "r") as f:
         # empty / comments-only YAML parses to None -> all-defaults Config
-        return config_from_dict(yaml.safe_load(f) or {})
+        d = yaml.safe_load(f) or {}
+    base = d.pop("BASE", None)
+    if base:
+        if not os.path.isabs(base):
+            base = os.path.join(os.path.dirname(path) or ".", base)
+        d = _deep_merge(load_config_dict(base, _seen + (real,)), d)
+    return d
+
+
+def load_config(path: str) -> Config:
+    return config_from_dict(load_config_dict(path))
 
 
 def build_arg_parser() -> argparse.ArgumentParser:

@@ -2,6 +2,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from hupr_tpu.config import config_from_dict, load_config
 from hupr_tpu.eval.coco_api import COCO, COCOeval
@@ -220,3 +221,55 @@ def test_machine_cache_key_discriminates_cpuid_model(tmp_path):
     assert a.startswith("/tmp/c_") and b.startswith("/tmp/c_")
     # unreadable cpuinfo still degrades to a usable (march-only) key
     assert machine_cache_dir("/tmp/c", cpuinfo=str(tmp_path / "absent"))
+
+def test_config_base_include(tmp_path):
+    """Top-level `BASE:` deep-merges the included file under the overlay
+    (override wins per leaf; untouched sections inherit); resolution is
+    relative to the INCLUDING file, and include cycles raise instead of
+    recursing forever."""
+    sub = tmp_path / "config"
+    sub.mkdir()
+    (sub / "base.yaml").write_text(
+        "DATASET:\n  heatmapSize: 32\n  duration: 8\n"
+        "MODEL:\n  numFilters: 4\n  attention: 'xla'\n")
+    (sub / "variant.yaml").write_text(
+        "BASE: base.yaml\nMODEL:\n  attention: 'pallas'\n"
+        "TRAINING:\n  lr: 0.001\n")
+    cfg = load_config(str(sub / "variant.yaml"))
+    assert cfg.MODEL.attention == "pallas"      # overlay wins
+    assert cfg.MODEL.numFilters == 4            # sibling key inherited
+    assert cfg.DATASET.heatmapSize == 32        # untouched section inherited
+    assert cfg.DATASET.duration == 8
+    assert cfg.TRAINING.lr == 0.001             # overlay-only section applied
+
+    (sub / "a.yaml").write_text("BASE: b.yaml\n")
+    (sub / "b.yaml").write_text("BASE: a.yaml\n")
+    with pytest.raises(ValueError, match="cycle"):
+        load_config(str(sub / "a.yaml"))
+
+
+def test_config_tpu_variants_are_flagship_overlays():
+    """The shipped TPU configs must stay the flagship recipe + knobs: same
+    geometry/splits/training hyperparameters (checkpoint + eval-protocol
+    parity), differing ONLY in the documented speed levers."""
+    root = os.path.join(os.path.dirname(__file__), "..", "config")
+    base = load_config(os.path.join(root, "mscsa_prgcn.yaml"))
+    tpu = load_config(os.path.join(root, "mscsa_prgcn_tpu.yaml"))
+    fast = load_config(os.path.join(root, "mscsa_prgcn_tpu_fast.yaml"))
+    for cfg in (tpu, fast):
+        assert cfg.DATASET.trainName == base.DATASET.trainName
+        assert cfg.DATASET.heatmapSize == base.DATASET.heatmapSize
+        assert cfg.TRAINING.lr == base.TRAINING.lr
+        assert cfg.TRAINING.batchSize == base.TRAINING.batchSize
+        assert cfg.MODEL.numFilters == base.MODEL.numFilters
+        assert cfg.MODEL.attention == "pallas"
+    # tpu = bit-exact parity: ONLY the attention kernel changes
+    assert tpu.MODEL.computeDtype == "float32"
+    assert tpu.SETUP.transferDtype == "float32"
+    assert not tpu.TRAINING.chunkTrain
+    # fast = every measured lever composed
+    assert fast.MODEL.computeDtype == "bfloat16"
+    assert fast.SETUP.transferDtype == "bfloat16"
+    assert fast.TRAINING.chunkTrain and fast.TRAINING.chunkSource == "adc"
+    assert fast.TEST.sequenceSource == "adc"
+    assert fast.DATASET.adcDir
