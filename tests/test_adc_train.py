@@ -223,3 +223,40 @@ def test_runner_adc_train_end_to_end(tmp_path):
         assert os.path.exists("logs/adc_e2e/val_results.json")
     finally:
         os.chdir(cwd)
+
+
+@pytest.mark.slow
+def test_runner_fast_composition_end_to_end(tmp_path):
+    """The shipped max-throughput composition (config/mscsa_prgcn_tpu_fast
+    .yaml: bf16 compute + bf16 wire + fused-ADC chunk train + fused-ADC
+    sequence eval) trains, checkpoints, and evals through the standard
+    Runner — the levers are individually tested; this pins that they
+    COMPOSE (e.g. the ADC step must honor computeDtype, and the bf16 wire
+    knob must not break the int16 capture path, which ignores it)."""
+    import argparse
+
+    cfg = make_adc_dataset(tmp_path)
+    cfg.TRAINING.batchSize = 3
+    cfg.TRAINING.chunkTrain = True
+    cfg.TRAINING.chunkSource = "adc"
+    cfg.TEST.sequenceSource = "adc"
+    cfg.MODEL.computeDtype = "bfloat16"
+    cfg.SETUP.transferDtype = "bfloat16"
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        from hupr_tpu.engine import Runner
+        args = argparse.Namespace(seed=0, dir="fastcomp", visDir="none",
+                                  eval=False, sampling_ratio=1,
+                                  keypoints=False)
+        runner = Runner(args, cfg)
+        assert isinstance(runner._chunk_loader, ADCChunkLoader)
+        runner.train()
+        assert os.path.exists("logs/fastcomp/checkpoint.ckpt")
+        assert os.path.exists("logs/fastcomp/val_results.json")
+        import json
+        with open("logs/fastcomp/train_loss_list_0.json") as fp:
+            losses = json.load(fp)
+        assert losses and all(np.isfinite(v) for v in losses)
+    finally:
+        os.chdir(cwd)
