@@ -168,12 +168,14 @@ class _NumpyEngine:
             self.late_bytes += skip
             payload, off, n = payload[skip:], self.base, n - skip
         # far-ahead offsets (corrupted header OR a genuine forward jump)
-        # need a second agreeing packet before the bounded resync moves
-        # base — a lone corrupted offset must not wipe the ring or spin the
-        # drop loop (see native/dca1000.cc, the twin of this logic)
+        # need a second agreeing packet — STRICTLY ahead of the candidate,
+        # so a UDP-duplicated copy of the one corrupted datagram can't
+        # self-confirm — before the bounded resync moves base; a lone
+        # corrupted offset must not wipe the ring or spin the drop loop
+        # (see native/dca1000.cc, the twin of this logic)
         if off > self.watermark + self.capacity:
             if (self._resync_candidate >= 0
-                    and self._resync_candidate <= off
+                    and self._resync_candidate < off
                     <= self._resync_candidate + self.capacity):
                 self.overflow_frames += ((self.watermark - self.base)
                                          // self.frame_bytes)

@@ -136,8 +136,13 @@ class Runner:
                     self.train_set, cfg.TRAINING.batchSize, shuffle=True,
                     seed=args.seed, workers=cfg.SETUP.numWorkers,
                     transfer_dtype=wire, **mh)
-        self.test_set = get_dataset("test" if args.eval else "val", cfg,
-                                    args.sampling_ratio)
+        # optional args.evalPhase overrides the reference's eval->test /
+        # train->val pairing (main.py:36-44): lets an eval-mode run score
+        # the VAL split without constructing the train loader at all
+        # (scripts/parity_audit.py --split val needs exactly that)
+        phase = getattr(args, "evalPhase", None) or \
+            ("test" if args.eval else "val")
+        self.test_set = get_dataset(phase, cfg, args.sampling_ratio)
         self.test_loader = BatchLoader(self.test_set, cfg.TEST.batchSize,
                                        shuffle=False, seed=args.seed,
                                        workers=cfg.SETUP.numWorkers,

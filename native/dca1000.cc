@@ -120,12 +120,17 @@ long hupr_cap_feed(void* h, const uint8_t* pkt, long len) {
   // corrupted packet must not wipe the ring or spin the drop loop for
   // minutes under the lock (off ~ 2^40 did exactly that), so far offsets
   // need CONFIRMATION: the first is dropped but remembered; a second
-  // packet agreeing with it (within one ring span) triggers a bounded
-  // resync — zero the ring, snap base to the new region's frame boundary.
-  // Random corruption never produces two agreeing far offsets; a real jump
-  // confirms on the very next datagram.
+  // packet agreeing with it (STRICTLY ahead, within one ring span)
+  // triggers a bounded resync — zero the ring, snap base to the new
+  // region's frame boundary. Strictly ahead matters: UDP duplication of
+  // the one corrupted datagram replays the identical offset, which must
+  // not count as independent agreement (it would confirm a bogus resync
+  // to ~2^40 and every genuine packet after it would read as late —
+  // a permanently dead stream). Random corruption never produces two
+  // DISTINCT agreeing far offsets; a real jump confirms on the very next
+  // datagram, whose offset is greater by one payload.
   if (off > c->watermark + c->capacity) {
-    if (c->resync_candidate >= 0 && off >= c->resync_candidate &&
+    if (c->resync_candidate >= 0 && off > c->resync_candidate &&
         off <= c->resync_candidate + c->capacity) {
       c->overflow_frames += (c->watermark - c->base) / c->frame_bytes;
       std::fill(c->ring.begin(), c->ring.end(), 0);

@@ -24,9 +24,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hupr_tpu.utils.cache import enable_persistent_cache
-
-enable_persistent_cache(jax, "/tmp/jax_bench_cache")
+# raw (un-keyed) dir on purpose, like bench.py: TPU-target cache entries
+# are host-CPU-independent; utils/cache's machine keying is for CPU AOT
+# entries and would strand TPU entries across VM migrations
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():

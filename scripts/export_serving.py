@@ -65,9 +65,14 @@ def main():
         variables = synthetic_variables(model, example)
         print("exporting SYNTHETIC weights (no --checkpoint given)")
 
+    # the capture geometry and window length come from the CONFIG (a
+    # DATASET.adcParams overlay must produce an artifact matching the
+    # weights' geometry — hardcoding RadarParams() here silently exported
+    # flagship-shaped DSP for reduced-geometry configs)
+    rp = d.radar_params() if hasattr(d, "radar_params") else RadarParams()
     blob = export_serving(
-        model, variables, params=RadarParams(), frames=args.frames,
-        num_frames=d.numFrames,
+        model, variables, params=rp, frames=args.frames,
+        group=d.numGroupFrames, num_frames=d.numFrames,
         dtype=jnp.int16 if args.dtype == "int16" else jnp.float32,
         platforms=tuple(p.strip() for p in args.platforms.split(",")))
     save_artifact(args.out, blob)

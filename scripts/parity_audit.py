@@ -107,9 +107,14 @@ def main():
               "as-is — MIGRATION.md)")
         return 2
 
-    # the reference CLI's eval flow (main.py:36-38), split selectable
+    # the reference CLI's eval flow (main.py:36-38), split selectable.
+    # Always eval-mode: a --split val audit must not construct the train
+    # loader (the train annotations/sequences may be absent on an
+    # eval-only host and check_assets deliberately doesn't require them) —
+    # evalPhase points the eval at the requested split instead
     run_args = argparse.Namespace(seed=args.seed, dir=args.dir,
-                                  visDir="none", eval=args.split == "test",
+                                  visDir="none", eval=True,
+                                  evalPhase=args.split,
                                   sampling_ratio=1, keypoints=args.keypoints)
     from hupr_tpu.engine import Runner
     runner = Runner(run_args, cfg)

@@ -68,6 +68,10 @@ def main():
 
     import jax
 
+    # raw (un-keyed) dir on purpose, like bench.py: this script compiles
+    # TPU-target programs, whose cache entries are host-CPU-independent —
+    # utils/cache.enable_persistent_cache's machine keying exists for CPU
+    # AOT entries and would strand TPU entries across VM migrations
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -125,6 +125,28 @@ def test_corrupted_offset_rejected_stream_survives(engine):
     assert s["rejected"] == 1 and s["resyncs"] == 0
 
 
+def test_duplicated_corrupted_packet_cannot_self_confirm_resync(engine):
+    """UDP duplication of the ONE corrupted datagram replays the identical
+    far offset — that must not count as the confirming second sighting
+    (confirmation requires a STRICTLY greater agreeing offset). Before the
+    fix this wiped the ring, snapped base to ~2^40, and every genuine
+    packet afterwards was discarded as late: a permanently dead stream."""
+    stream = _stream(2, seed=13)
+    pkts = packetize(stream, PAYLOAD)
+    r = PacketReassembler(FRAME_SAMPLES, native=engine)
+    r.feed(pkts[0])
+    evil = pkts[0][:4] + int(1 << 40).to_bytes(6, "little") + b"\xff" * 64
+    assert r.feed(evil) == 0                  # first sighting: held back
+    assert r.feed(evil) == 0                  # duplicate: must NOT confirm
+    for pkt in pkts[1:]:                      # the real stream continues
+        assert r.feed(pkt) > 0
+    got = list(r.frames())
+    assert len(got) == 2
+    np.testing.assert_array_equal(np.concatenate(got), stream)
+    s = r.stats()
+    assert s["resyncs"] == 0 and s["rejected"] == 2
+
+
 def test_confirmed_forward_jump_resyncs(engine):
     """Two agreeing far-ahead offsets = a genuine stream jump (e.g. the
     kernel dropped more than a ring of packets during a stall): the ring
