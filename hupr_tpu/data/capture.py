@@ -149,6 +149,26 @@ class _NumpyEngine:
         self.base += self.frame_bytes
         self.watermark = max(self.watermark, self.base)
 
+    def _try_resync(self, off: int) -> bool:
+        """Two-packet confirmation for a far offset (ahead OR behind): the
+        first sighting is remembered + rejected; a second DISTINCT offset
+        agreeing with it (strictly ahead of the candidate, within one ring
+        span) performs the bounded resync."""
+        if (self._resync_candidate >= 0
+                and self._resync_candidate < off
+                <= self._resync_candidate + self.capacity):
+            self.overflow_frames += ((self.watermark - self.base)
+                                     // self.frame_bytes)
+            self.ring[:] = 0
+            self.base = (off // self.frame_bytes) * self.frame_bytes
+            self.watermark = self.base
+            self._resync_candidate = -1
+            self.resyncs += 1
+            return True
+        self._resync_candidate = off
+        self.rejected += 1
+        return False
+
     def feed(self, pkt: bytes) -> int:
         if len(pkt) < HEADER_BYTES:
             return -1
@@ -161,8 +181,16 @@ class _NumpyEngine:
             self.reordered += 1
         self._last_seq = max(self._last_seq, seq)
         if off + n <= self.base:
-            self.late_bytes += n
-            return 0
+            # a DCA1000 restart resets the stream's byte counter to 0, so
+            # every post-restart packet lands far BELOW base and would read
+            # as late forever — same two-packet confirmation as far-ahead,
+            # then base snaps BACKWARDS to the restarted stream. Near-behind
+            # packets (within one ring) stay plain late/duplicates.
+            if off + self.capacity < self.base and self._try_resync(off):
+                pass  # resynced: fall through to the normal placement path
+            else:
+                self.late_bytes += n
+                return 0
         if off < self.base:
             skip = self.base - off
             self.late_bytes += skip
@@ -174,19 +202,7 @@ class _NumpyEngine:
         # corrupted offset must not wipe the ring or spin the drop loop
         # (see native/dca1000.cc, the twin of this logic)
         if off > self.watermark + self.capacity:
-            if (self._resync_candidate >= 0
-                    and self._resync_candidate < off
-                    <= self._resync_candidate + self.capacity):
-                self.overflow_frames += ((self.watermark - self.base)
-                                         // self.frame_bytes)
-                self.ring[:] = 0
-                self.base = (off // self.frame_bytes) * self.frame_bytes
-                self.watermark = self.base
-                self._resync_candidate = -1
-                self.resyncs += 1
-            else:
-                self._resync_candidate = off
-                self.rejected += 1
+            if not self._try_resync(off):
                 return 0
         else:
             self._resync_candidate = -1

@@ -361,7 +361,10 @@ class Runner:
         return save_preds
 
     def write_keypoints(self, preds: list) -> str:
-        name = "test_results.json" if self.args.eval else "val_results.json"
+        # name from the dataset actually being scored, not args.eval: the
+        # evalPhase override (parity_audit --split val) makes phase='val'
+        # with eval=True, and dataset.evaluate reads f"{phase}_results.json"
+        name = f"{self.test_set.phase}_results.json"
         path = os.path.join(self.dir, name)
         with open(path, "w") as fp:
             json.dump(preds, fp)

@@ -52,8 +52,8 @@ struct Capture {
   long late_bytes = 0;      // payload below base on arrival (too old)
   long overflow_frames = 0; // unread frames discarded to make room
   long reordered = 0;       // packets whose seq went backwards
-  long rejected = 0;        // unconfirmed far-ahead offsets dropped
-  long resyncs = 0;         // confirmed forward jumps (base snapped ahead)
+  long rejected = 0;        // unconfirmed far offsets dropped
+  long resyncs = 0;         // confirmed jumps (base snapped ahead/behind)
   uint32_t last_seq = 0;
 };
 
@@ -67,6 +67,28 @@ void drop_oldest(Capture* c) {
   for (long i = 0; i < c->frame_bytes; i++) *slot(c, off + i) = 0;
   c->base += c->frame_bytes;
   if (c->watermark < c->base) c->watermark = c->base;
+}
+
+// Two-packet confirmation for a far offset (ahead OR behind): the first
+// sighting is remembered + rejected; a second DISTINCT offset agreeing
+// with it (strictly ahead of the candidate, within one ring span) performs
+// the bounded resync — zero the ring, snap base to the new region's frame
+// boundary. Returns true when the resync happened (caller may then place
+// the payload normally).
+bool try_resync(Capture* c, long off) {
+  if (c->resync_candidate >= 0 && off > c->resync_candidate &&
+      off <= c->resync_candidate + c->capacity) {
+    c->overflow_frames += (c->watermark - c->base) / c->frame_bytes;
+    std::fill(c->ring.begin(), c->ring.end(), 0);
+    c->base = (off / c->frame_bytes) * c->frame_bytes;
+    c->watermark = c->base;
+    c->resync_candidate = -1;
+    c->resyncs++;
+    return true;
+  }
+  c->resync_candidate = off;
+  c->rejected++;
+  return false;
 }
 
 }  // namespace
@@ -104,8 +126,18 @@ long hupr_cap_feed(void* h, const uint8_t* pkt, long len) {
   if (seq > c->last_seq) c->last_seq = seq;
 
   if (off + n <= c->base) {  // entirely below the oldest unread frame
-    c->late_bytes += n;
-    return 0;
+    // A DCA1000 restart resets the stream's byte counter to 0, so every
+    // post-restart packet lands far BELOW base and would read as late
+    // forever — a permanently dead stream. A far-behind offset (more than
+    // one ring below base) therefore gets the same two-packet confirmation
+    // as far-ahead, then snaps base BACKWARDS to the restarted stream.
+    // Near-behind packets (within one ring) stay plain late/duplicates.
+    if (off + c->capacity < c->base && try_resync(c, off)) {
+      // resynced: fall through to the normal placement path
+    } else {
+      c->late_bytes += n;
+      return 0;
+    }
   }
   if (off < c->base) {  // straddles base: accept only the live tail
     long skip = c->base - off;
@@ -130,19 +162,7 @@ long hupr_cap_feed(void* h, const uint8_t* pkt, long len) {
   // DISTINCT agreeing far offsets; a real jump confirms on the very next
   // datagram, whose offset is greater by one payload.
   if (off > c->watermark + c->capacity) {
-    if (c->resync_candidate >= 0 && off > c->resync_candidate &&
-        off <= c->resync_candidate + c->capacity) {
-      c->overflow_frames += (c->watermark - c->base) / c->frame_bytes;
-      std::fill(c->ring.begin(), c->ring.end(), 0);
-      c->base = (off / c->frame_bytes) * c->frame_bytes;
-      c->watermark = c->base;
-      c->resync_candidate = -1;
-      c->resyncs++;
-    } else {
-      c->resync_candidate = off;
-      c->rejected++;
-      return 0;
-    }
+    if (!try_resync(c, off)) return 0;
   } else {
     c->resync_candidate = -1;  // normal traffic clears a stale candidate
   }

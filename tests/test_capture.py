@@ -180,6 +180,43 @@ def test_confirmed_forward_jump_resyncs(engine):
     assert s["resyncs"] == 1 and s["rejected"] == 1
 
 
+def test_capture_card_restart_resyncs_backwards(engine):
+    """A DCA1000 restart resets the stream byte counter to 0: every packet
+    then lands far BELOW base and (pre-fix) read as 'late' forever — a
+    permanently dead stream until the consumer process restarted. Far-behind
+    offsets get the same two-packet confirmation as far-ahead and snap base
+    backwards (ADVICE r4)."""
+    frames_ahead = 1000
+    jump = frames_ahead * FRAME_SAMPLES * 2   # bytes
+    pre = _stream(2, seed=14)
+    r = PacketReassembler(FRAME_SAMPLES, native=engine)
+    for pkt in packetize(pre, PAYLOAD):       # pre-restart stream, offset
+        seq, off = pkt[:4], int.from_bytes(pkt[4:10], "little")
+        r.feed(seq + (off + jump).to_bytes(6, "little") + pkt[10:])
+    # (feeding at +jump itself took one confirmed forward resync)
+    assert len(list(r.frames())) == 2         # consume; base stays ~jump
+    # ...the card restarts: offsets begin again at 0
+    post = _stream(2, seed=15)
+    pkts = packetize(post, PAYLOAD)
+    assert r.feed(pkts[0]) == 0               # first sighting: held back
+    for pkt in pkts[1:]:                      # second agrees -> resync back
+        assert r.feed(pkt) > 0
+    got = []
+    while True:
+        f = r.read_frame_indexed()
+        if f is None:
+            break
+        got.append(f)
+    # indexes restart near 0; frame 0's first span is zero-filled (its
+    # packet was the held-back first sighting), frame 1 is bit-exact
+    assert [i for i, _ in got] == [0, 1]
+    want0 = post[:FRAME_SAMPLES].copy()
+    want0[:PAYLOAD // 2] = 0
+    np.testing.assert_array_equal(got[0][1], want0)
+    np.testing.assert_array_equal(got[1][1], post[FRAME_SAMPLES:])
+    assert r.stats()["resyncs"] == 2          # one forward + the backward one
+
+
 def test_read_frame_indexed_gaps_mark_drops(engine):
     """Absolute stream indexes expose overflow drops (the alignment signal
     scripts/live_serve.py pairs the hori/vert views with)."""

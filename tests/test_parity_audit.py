@@ -110,6 +110,23 @@ def test_audit_runs_and_reports(monkeypatch, capsys, audit_workdir):
     audit_workdir.joinpath("measured_ap.txt").write_text(str(report["AP"]))
 
 
+def test_audit_val_split(monkeypatch, capsys, audit_workdir):
+    # --split val is the script's documented primary invocation: evalPhase
+    # overrides the reference's eval->test pairing, so write_keypoints must
+    # name the file from the dataset phase (val_results.json), or the
+    # evaluator crashes / silently scores a stale file (ADVICE r4 high)
+    stale = audit_workdir / "logs" / "tiny" / "val_results.json"
+    if stale.exists():
+        stale.unlink()
+    rc, out = _run_audit(monkeypatch, capsys, audit_workdir,
+                         ["--config", "tiny.yaml", "--dir", "tiny",
+                          "--split", "val"])
+    assert rc == 0
+    report = json.loads(out.strip().splitlines()[-1])
+    assert report["split"] == "val"
+    assert os.path.exists(stale)
+
+
 def test_expected_ap_gate(monkeypatch, capsys, audit_workdir):
     ap_file = audit_workdir / "measured_ap.txt"
     if not ap_file.exists():  # ordering guard; pytest runs file-order anyway
