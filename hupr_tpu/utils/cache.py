@@ -1,13 +1,24 @@
 """Machine-keyed persistent compile-cache directories.
 
-XLA's CPU AOT cache embeds the compile machine's CPU features and REJECTS
-entries on mismatch — loudly: one multi-KB ERROR wall per program load
-(cpu_aot_loader.cc), which this image's site hooks make unsuppressable
-(TF_CPP_MIN_LOG_LEVEL is captured by jaxlib before user code runs). Sharing
-one cache dir across heterogeneous VMs (the build VM vs the driver VM)
-therefore yields zero reuse AND drowns logs. Keying the directory by the
-host's CPU-flag set gives every machine type its own always-compatible
-cache: warm runs actually hit, and the mismatch wall never triggers.
+XLA's CPU AOT cache embeds the compile machine's CPU features and logs a
+multi-KB ERROR wall per program load on mismatch (cpu_aot_loader.cc),
+which this image's site hooks make unsuppressable in-process
+(TF_CPP_MIN_LOG_LEVEL is captured by jaxlib before user code runs).
+
+Round-5 diagnosis (experiment: same host, fresh dir, two runs): part of
+the wall is INTRINSIC and harmless — XLA's compile-feature list includes
+LLVM TUNING flags (+prefer-no-scatter/-gather: codegen preferences, not
+CPUID features) that load-time host detection never reports, so a host
+warns about its own entries written seconds earlier, yet still LOADS and
+runs them (a prefer-NO-x tuning cannot SIGILL; the warm speedup is real).
+That spurious wall is handled by stderr line-filtering in the dryrun
+(__graft_entry__._dryrun_in_child), not here.
+
+This module handles the GENUINE hazard: entries from a machine whose real
+ISA differs (a migrated VM with different CPUID feature bits) also load —
+"could lead to SIGILL" is literal. Keying the directory by the host's
+CPU-flag set + cpuid-derived march gives every true machine type its own
+always-compatible cache.
 """
 
 from __future__ import annotations
