@@ -136,6 +136,21 @@ class Runner:
                     self.train_set, cfg.TRAINING.batchSize, shuffle=True,
                     seed=args.seed, workers=cfg.SETUP.numWorkers,
                     transfer_dtype=wire, **mh)
+                if not getattr(t, "chunkTrain", False):
+                    from hupr_tpu.engine.chunk_train import ChunkTrainLoader
+                    if ChunkTrainLoader.applicable(self.train_set, cfg):
+                        # steer input-bound classic runs to the fast path
+                        # (README "Which config should I train with?"):
+                        # the classic loop ships every 33.6 MB window
+                        # separately and is the measured bottleneck on
+                        # transfer- or host-bound setups
+                        print("==========>hint: this run qualifies for "
+                              "chunk-mode training (TRAINING.chunkTrain: "
+                              "true, or config/mscsa_prgcn_tpu_fast.yaml) "
+                              "— ~an order of magnitude faster when the "
+                              "loader or host->device link is the "
+                              "bottleneck; per-step math is unchanged, "
+                              "epochs shuffle chunks instead of windows")
         # optional args.evalPhase overrides the reference's eval->test /
         # train->val pairing (main.py:36-44): lets an eval-mode run score
         # the VAL split without constructing the train loader at all

@@ -32,6 +32,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():
+    # the dev tunnel occasionally stalls on first contact (DEVNOTES);
+    # bench's subprocess preflight retries before this process touches it
+    from bench import _wait_for_backend
+    _wait_for_backend()
+
     from hupr_tpu.config import Config
     from hupr_tpu.engine.steps import TrainState, make_optimizer, \
         make_train_step

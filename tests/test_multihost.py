@@ -133,6 +133,64 @@ def test_two_process_runner_chunk_train(tmp_path):
 
 
 @pytest.mark.slow
+def test_four_process_runner_chunk_train(tmp_path):
+    """Runner under FOUR jax.distributed processes (2 virtual devices each,
+    8-device global mesh) with TRAINING.chunkTrain over THREE sequences —
+    the nproc>2 edge cases the 2-process tests can't reach (VERDICT r4):
+    ranks that are neither 0 nor 1 slicing contiguous blocks of both padded
+    chunk axes (rank 3's frame block is entirely clamp rows), a round-robin
+    eval share distribution where rank 3 holds ZERO sequences, and a
+    4-file rank merge."""
+    import json
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_e2e import make_tiny_dataset
+
+    make_tiny_dataset(str(tmp_path / "data"), [1, 2, 3], r=32, a=32,
+                      img_size=128)
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multihost_runner_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(worker))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(port), str(pid), str(tmp_path),
+         "chunk", "4"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in range(4)]
+    outs = []
+    try:
+        for p in procs:
+            # 4 concurrent 1-core compiles: slower than the 2-process tests
+            out, _ = p.communicate(timeout=2400)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("4-process chunk-train workers timed out")
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    bests = []
+    for out in outs:
+        m = re.search(r"MHRUNNER_OK pid=\d best=([-0-9.]+)", out)
+        assert m, f"no OK line in:\n{out[-4000:]}"
+        bests.append(float(m.group(1)))
+    assert len(set(bests)) == 1  # AP broadcast reaches every rank
+    log_dir = tmp_path / "logs" / "mh"
+    assert (log_dir / "checkpoint.ckpt").exists()
+    with open(log_dir / "val_results.json") as fp:
+        blocks = json.load(fp)
+    # all three sequences merged in order; no rank files left behind
+    assert len(blocks) == 24
+    ids = [b["image_id"] for b in blocks]
+    assert ids == sorted(ids)
+    assert len({b["image_id"] // 100000 for b in blocks}) == 3
+    assert not list(log_dir.glob("*rank*"))
+
+
+@pytest.mark.slow
 def test_two_process_distributed_train_step():
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
