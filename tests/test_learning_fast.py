@@ -19,12 +19,20 @@ keeps the target out of the static-clutter notch (DSP subtracts the
 per-chirp mean). The whole train path runs capture-native: no .npy cube is
 ever written.
 
-Run at batch 40 — the measured max-throughput operating point
-(scripts/batch_sweep.py, DEVNOTES) — with lr 3e-3, ~sqrt-scaled from the
-classic test's 1e-3 at batch 4 (Adam scales closer to sqrt than linear).
-MODEL.attention stays 'xla' here: the Pallas kernel does not lower on the
-CPU test backend (scripts/live_serve.py applies the same downgrade); its
-equivalence to the XLA path is pinned separately by test_attention.
+Scale notes: chunk batches of 12 windows over a 16-frame sequence — the
+smallest geometry where chunk mode is non-trivial (two chunks per epoch,
+one a padded tail) while the memorization task stays CI-sized; lr 3e-3,
+~sqrt-scaled from the classic test's 1e-3 at batch 4. The production
+max-throughput operating point (batch 64-128 on TPU) is pinned by
+scripts/batch_sweep.py / the README perf table, not here — batch size
+does not change the gradient path this test proves. Convergence shape
+(observed, seed 0): BCE first matches the background prior (decoded
+predictions collapse to a near-constant argmax through ~step 100), then
+peaks form quickly once loss reaches ~0.2 and pixel error drops 35 -> ~2
+by step 150. MODEL.attention stays 'xla' here: the Pallas kernel does
+not lower on the CPU test backend (scripts/live_serve.py applies the
+same downgrade); its equivalence to the XLA path is pinned separately by
+test_attention.
 """
 
 import argparse
@@ -67,6 +75,14 @@ def point_target_frame(r_out: int, a_out: int, rp: RadarParams,
     n = rx[:, None] + np.where(j % 3 == 0, 0,
                                np.where(j % 3 == 1, 2, 4))[None, :]
     ant_ph = np.exp(2j * np.pi * ka * n / nab)
+    # Hamming taper across the 8-element virtual aperture: the range and
+    # Doppler tones sit on exact integer FFT bins (no leakage), but the
+    # azimuth FFT zero-pads 8 antennas to nab bins — untapered, its -13 dB
+    # Dirichlet sidelobes 6-10 bins off the target made the decoded argmax
+    # (and the model's heatmap mode) hop between lobes. The taper trades a
+    # slightly wider main lobe for ~-40 dB sidelobes: a clean unimodal
+    # azimuth response, standard radar aperture weighting.
+    ant_ph = ant_ph * (0.54 - 0.46 * np.cos(2 * np.pi * n / 7))
     return (amp * ant_ph[:, :, None] * dop_ph[None, :, None]
             * rng_ph[None, None, :])
 
@@ -88,22 +104,29 @@ def make_learnable_adc_dataset(root, rp: RadarParams, duration=80, seed=0,
                                img_size=128):
     """Point-target captures + annotations; joints colocated at the target.
     Writes ONLY annotation JSONs and raw adc_data.bin files — the fast path
-    never reads preprocessed cubes."""
+    never reads preprocessed cubes.
+
+    Mirrors the sensor's two-view geometry: the range FFT is bin-sharp (the
+    ADC tone picks one of 256 bins) while the 8-virtual-antenna azimuth FFT
+    spreads a ~4-bin Dirichlet lobe, so ONE view localizes only one axis
+    precisely. The horizontal view carries y on its (sharp) range axis and
+    x on its (broad) azimuth axis; the vertical view carries the transpose
+    — exactly how the physical horizontal/vertical arrays complement each
+    other, and what makes both coordinates learnable to a bin."""
     rng = np.random.default_rng(seed)
     adc_dir = os.path.join(root, "adc")
     frames_h, frames_v, blocks = [], [], []
     for f in range(duration):
         x = float(rng.uniform(24, img_size - 24))
         y = float(rng.uniform(24, img_size - 24))
-        sig = point_target_frame(int(y / 4), int(x / 4), rp)
-        noisy = []
-        for _ in range(2):  # independent receiver noise per view
+        for sig, frames in ((point_target_frame(int(y / 4), int(x / 4), rp),
+                             frames_h),
+                            (point_target_frame(int(x / 4), int(y / 4), rp),
+                             frames_v)):
             noise = (rng.integers(-10, 10, sig.shape)
                      + 1j * rng.integers(-10, 10, sig.shape))
-            noisy.append(np.round(sig.real) + 1j * np.round(sig.imag)
-                         + noise)
-        frames_h.append(noisy[0])
-        frames_v.append(noisy[1])
+            frames.append(np.round(sig.real) + 1j * np.round(sig.imag)
+                          + noise)
         blocks.append({"image": "%09d.jpg" % f, "joints": [[x, y]] * 14,
                        "bbox": [x - 25, y - 25, x + 25, y + 25]})
     for view, frames in (("hori", frames_h), ("vert", frames_v)):
@@ -119,7 +142,7 @@ def make_learnable_adc_dataset(root, rp: RadarParams, duration=80, seed=0,
     return adc_dir
 
 
-def fast_cfg(data_dir, adc_dir, duration=80, batch=40):
+def fast_cfg(data_dir, adc_dir, duration=16, batch=12):
     """The mscsa_prgcn_tpu_fast.yaml composition at the reduced geometry:
     chunkTrain + chunkSource adc + sequenceSource adc + bf16 compute/wire.
     attention stays xla on the CPU backend (see module docstring)."""
@@ -132,6 +155,7 @@ def fast_cfg(data_dir, adc_dir, duration=80, batch=40):
         "MODEL": {"numFilters": 2, "computeDtype": "bfloat16"},
         "TRAINING": {"batchSize": batch, "epochs": 1, "lr": 3e-3,
                      "chunkTrain": True, "chunkSource": "adc"},
+        # lr 3e-3 ~ sqrt(12/4) x the classic test's 1e-3 @ batch 4
         "TEST": {"batchSize": 8, "sequenceEval": True,
                  "sequenceSource": "adc"},
         "SETUP": {"transferDtype": "bfloat16"},
@@ -150,7 +174,7 @@ def test_fast_recipe_learns_localization_to_nonzero_ap(tmp_path):
     from hupr_tpu.engine.steps import init_state, make_optimizer
     from hupr_tpu.models import build_model
 
-    duration, batch, epochs, lr = 80, 40, 50, 3e-3
+    duration, batch, steps_max, lr = 16, 12, 160, 3e-3
     data_dir = str(tmp_path / "data")
     os.makedirs(data_dir)
     rp = RadarParams(**ADC_PARAMS)
@@ -171,16 +195,20 @@ def test_fast_recipe_learns_localization_to_nonzero_ap(tmp_path):
         model, tx, geometry=(d.numKeypoints, d.heatmapSize, d.imgSize),
         radar_params=rp, num_frames=d.numFrames)
 
-    first_loss, last_loss = None, None
-    for _ in range(epochs):
+    first_loss, last_loss, i = None, None, 0
+    while i < steps_max:
         for batch_host in loader:          # fresh epoch = reshuffled chunks
             dev, _ = device_put_chunk(batch_host)
             state, metrics = step(state, dev, lr, 0.0)
+            i += 1
             if first_loss is None:
                 first_loss = float(metrics["loss"])
+            elif i >= steps_max:
+                break
     last_loss = float(metrics["loss"])
     assert np.isfinite(last_loss)
-    assert last_loss < 0.5 * first_loss, (first_loss, last_loss)
+    # well past the ~0.2 peak-formation threshold (module docstring)
+    assert last_loss < 0.2 * first_loss, (first_loss, last_loss)
 
     # score through the fast EVAL path too: Runner -> sequence-mode eval
     # over the same raw captures (TEST.sequenceSource: adc) -> OKS AP
