@@ -57,6 +57,10 @@ other BASELINE configs:
     (half the host->device bytes; the best shippable transfer-bound config)
   e2e_frames_per_sec_bf16compute / train_ms_per_step_bf16compute —
     MODEL.computeDtype=bfloat16 A/B (numerics: tests/test_bf16_compute.py)
+  train_max_batch / train_max_ms_per_step / train_max_samples_per_sec /
+    train_max_mfu_vs_bf16_peak — the max-throughput training operating
+    point (config/mscsa_prgcn_tpu_max.yaml: batch 128 + bf16 compute +
+    MODEL.remat; remat lifts the no-remat HBM wall at B~64-96)
   attn_impl — the attention implementation all model-path keys measure
 
 Env knobs: BENCH_FRAMES, BENCH_REPS, BENCH_REF_FRAMES, BENCH_REF_SECONDS,
@@ -342,6 +346,37 @@ def main():
             result["train_ms_per_step_bf16compute"] = round(
                 _bench_train_bf16(model_bf16, variables, reps), 2)
 
+    # ---- max-throughput training point (config/mscsa_prgcn_tpu_max.yaml:
+    # batch 128 + bf16 compute + MODEL.remat — the measured 183 samples/s
+    # 48% MFU operating point, scripts/batch_sweep.py 2026-08-20). Wrapped
+    # so an HBM regression or tunnel hiccup degrades to a missing key, not
+    # a dead bench line.
+    if os.environ.get("BENCH_MAXTRAIN", "1") != "0" and \
+            os.environ.get("BENCH_TRAIN", "1") != "0":
+        import jax.numpy as jnp
+        try:
+            model_max = HuPRNet(num_filters=32, attn_impl=attn,
+                                dtype=jnp.bfloat16, remat=True)
+            b_max = int(os.environ.get("BENCH_MAXTRAIN_BATCH", "128"))
+            dt, b_max, mstep, mstate, mbatch = _time_train_step(
+                model_max, variables, reps, batch_size=b_max)
+            result["train_max_batch"] = b_max
+            result["train_max_ms_per_step"] = round(dt * 1000.0, 2)
+            result["train_max_samples_per_sec"] = round(b_max / dt, 2)
+            flops = _compiled_flops(mstep, mstate, mbatch)
+            if flops > 0:
+                if attn == "pallas":
+                    from hupr_tpu.ops.attention import mscsa_attention_flops
+                    flops += mscsa_attention_flops(b_max,
+                                                   include_backward=True)
+                peak = float(os.environ.get("BENCH_PEAK_TFLOPS",
+                                            "197")) * 1e12
+                result["train_max_mfu_vs_bf16_peak"] = round(
+                    flops / dt / peak, 4)
+        except Exception as exc:
+            print(f"bench: max-throughput train point skipped: {exc}",
+                  file=sys.stderr)
+
     print(json.dumps(result))
 
 
@@ -368,11 +403,13 @@ def _wire_dtype():
     return transfer_dtype(os.environ.get("BENCH_WIRE", "float32"))
 
 
-def _time_train_step(model, variables, reps: int):
-    """Flagship batch-20 fused train step: build donated state + synthetic
-    batch, compile (asserting a finite loss — a NaN program times the same
-    but measures garbage), and time it. One definition shared by the f32
-    and bf16-compute keys so the A/B can never drift on setup. Returns
+def _time_train_step(model, variables, reps: int, batch_size: int = None,
+                     check_finite: bool = True):
+    """Flagship fused train step at `batch_size` (default: the parity
+    config's 20): build donated state + synthetic batch, compile (asserting
+    a finite loss — a NaN program times the same but measures garbage), and
+    time it. One definition shared by the f32, bf16-compute, and
+    max-throughput keys so the A/Bs can never drift on setup. Returns
     (seconds/step, batch size, step fn, state, batch) — main() reuses the
     compiled step for the FLOPs/MFU keys."""
     import jax
@@ -393,7 +430,7 @@ def _time_train_step(model, variables, reps: int):
         opt_state=tx.init(params),
         step=jnp.zeros((), jnp.int32))
     rng = np.random.default_rng(1)
-    b = cfg.TRAINING.batchSize  # 20
+    b = batch_size if batch_size else cfg.TRAINING.batchSize  # 20
     tshape = (b, 8, 8, 2, 64, 64, 8)
     batch = {
         "hori": jax.device_put(rng.standard_normal(tshape).astype(np.float32)),
@@ -402,7 +439,8 @@ def _time_train_step(model, variables, reps: int):
     }
     step = make_train_step(model, tx)
     state, metrics = step(state, batch, 1e-4, 0.0)  # compile
-    assert np.isfinite(float(metrics["loss"])), "train loss non-finite"
+    if check_finite:
+        assert np.isfinite(float(metrics["loss"])), "train loss non-finite"
     train_reps = max(3, reps // 2)
     t0 = time.perf_counter()
     for _ in range(train_reps):
