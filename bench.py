@@ -167,6 +167,49 @@ def main():
     model = HuPRNet(num_filters=32, attn_impl=attn)
     ex = np.zeros((1, 8, 8, 2, 64, 64, 8), np.float32)
     variables = _init_variables_host(model, ex)
+
+    # ---- max-throughput training point (config/mscsa_prgcn_tpu_max.yaml:
+    # batch 128 + bf16 compute + MODEL.remat — the measured 183 samples/s
+    # 48% MFU operating point, scripts/batch_sweep.py 2026-08-20). Runs
+    # FIRST, on a pristine device: the program wants nearly the whole
+    # 16 GB HBM (the no-remat wall is 15.83/15.75 GB) and the later
+    # sections' residency/fragmentation tips it into RESOURCE_EXHAUSTED
+    # (observed when this section ran last, even with buffers freed).
+    # Wrapped so an HBM regression or tunnel hiccup degrades to missing
+    # keys, not a dead bench line.
+    result_max = {}
+    if os.environ.get("BENCH_MAXTRAIN", "1") != "0" and \
+            os.environ.get("BENCH_TRAIN", "1") != "0":
+        import gc
+
+        import jax.numpy as jnp
+        try:
+            model_max = HuPRNet(num_filters=32, attn_impl=attn,
+                                dtype=jnp.bfloat16, remat=True)
+            b_max = int(os.environ.get("BENCH_MAXTRAIN_BATCH", "128"))
+            dt, b_max, mstep, mstate, mbatch = _time_train_step(
+                model_max, variables, reps, batch_size=b_max)
+            result_max["train_max_batch"] = b_max
+            result_max["train_max_ms_per_step"] = round(dt * 1000.0, 2)
+            result_max["train_max_samples_per_sec"] = round(b_max / dt, 2)
+            flops = _compiled_flops(mstep, mstate, mbatch)
+            if flops > 0:
+                if attn == "pallas":
+                    from hupr_tpu.ops.attention import mscsa_attention_flops
+                    flops += mscsa_attention_flops(b_max,
+                                                   include_backward=True)
+                peak = float(os.environ.get("BENCH_PEAK_TFLOPS",
+                                            "197")) * 1e12
+                result_max["train_max_mfu_vs_bf16_peak"] = round(
+                    flops / dt / peak, 4)
+        except Exception as exc:
+            print(f"bench: max-throughput train point skipped: {exc}",
+                  file=sys.stderr)
+        # release the ~15 GB of B=128 residency before the serving sections
+        model_max = mstep = mstate = mbatch = None
+        gc.collect()
+        jax.clear_caches()
+
     run = make_e2e_infer(model, variables, duration=n_frames)
 
     # Inputs go device-resident up front: in production frames stream to host
@@ -346,37 +389,7 @@ def main():
             result["train_ms_per_step_bf16compute"] = round(
                 _bench_train_bf16(model_bf16, variables, reps), 2)
 
-    # ---- max-throughput training point (config/mscsa_prgcn_tpu_max.yaml:
-    # batch 128 + bf16 compute + MODEL.remat — the measured 183 samples/s
-    # 48% MFU operating point, scripts/batch_sweep.py 2026-08-20). Wrapped
-    # so an HBM regression or tunnel hiccup degrades to a missing key, not
-    # a dead bench line.
-    if os.environ.get("BENCH_MAXTRAIN", "1") != "0" and \
-            os.environ.get("BENCH_TRAIN", "1") != "0":
-        import jax.numpy as jnp
-        try:
-            model_max = HuPRNet(num_filters=32, attn_impl=attn,
-                                dtype=jnp.bfloat16, remat=True)
-            b_max = int(os.environ.get("BENCH_MAXTRAIN_BATCH", "128"))
-            dt, b_max, mstep, mstate, mbatch = _time_train_step(
-                model_max, variables, reps, batch_size=b_max)
-            result["train_max_batch"] = b_max
-            result["train_max_ms_per_step"] = round(dt * 1000.0, 2)
-            result["train_max_samples_per_sec"] = round(b_max / dt, 2)
-            flops = _compiled_flops(mstep, mstate, mbatch)
-            if flops > 0:
-                if attn == "pallas":
-                    from hupr_tpu.ops.attention import mscsa_attention_flops
-                    flops += mscsa_attention_flops(b_max,
-                                                   include_backward=True)
-                peak = float(os.environ.get("BENCH_PEAK_TFLOPS",
-                                            "197")) * 1e12
-                result["train_max_mfu_vs_bf16_peak"] = round(
-                    flops / dt / peak, 4)
-        except Exception as exc:
-            print(f"bench: max-throughput train point skipped: {exc}",
-                  file=sys.stderr)
-
+    result.update(result_max)
     print(json.dumps(result))
 
 
