@@ -188,6 +188,39 @@ def test_flagship_chunk_and_adc_lower(flagship):
     print("flagship lowering OK (fused-ADC chunk train)")
 
 
+def test_max_config_train_step_lowers(flagship):
+    """The shipped config/mscsa_prgcn_tpu_max.yaml composition — batch 128
+    + bf16 compute + MODEL.remat — lowers with mesh shardings: the exact
+    program behind the 183 samples/s / 48% MFU operating point (bench
+    train_max_* keys), including the nn.remat'd encoders under autodiff."""
+    import os
+
+    from hupr_tpu.config import load_config
+    cfg, _, _, mesh, _ = flagship
+    root = os.path.join(os.path.dirname(__file__), "..", "config")
+    mcfg = load_config(os.path.join(root, "mscsa_prgcn_tpu_max.yaml"))
+    assert mcfg.TRAINING.batchSize == 128 and mcfg.MODEL.remat
+    assert mcfg.MODEL.attention == "pallas"
+    # the Pallas kernel has no CPU-backend lowering at all (live_serve
+    # applies the same downgrade); the remat+bf16+B=128 program structure
+    # is what this test pins
+    mcfg.MODEL.attention = "xla"
+    d = mcfg.DATASET
+    model = build_model(mcfg)
+    tx = make_optimizer(mcfg)
+    rep = replicated(mesh)
+    state = jax.eval_shape(
+        lambda rng: init_state(model, mcfg, rng, tx), jax.random.PRNGKey(0))
+    state = jax.tree.map(lambda l: _sds(l.shape, l.dtype, rep), state)
+    step = make_train_step(model, tx,
+                           geometry=(d.numKeypoints, d.heatmapSize,
+                                     d.imgSize))
+    lowered = step.lower(state, _batch_sds(mcfg, mesh, 128),
+                         np.float32(2.5e-4), np.float32(0.0))
+    assert lowered is not None
+    print("flagship lowering OK (max config: batch 128, bf16, remat)")
+
+
 def test_flagship_adc_seq_encoder_lowers(flagship):
     from hupr_tpu.engine.seq_eval import make_adc_sequence_encoder
     from hupr_tpu.ops.dsp import RadarParams

@@ -273,3 +273,13 @@ def test_config_tpu_variants_are_flagship_overlays():
     assert fast.TRAINING.chunkTrain and fast.TRAINING.chunkSource == "adc"
     assert fast.TEST.sequenceSource == "adc"
     assert fast.DATASET.adcDir
+    # max = fast + the measured operating point (batch 128 + remat +
+    # sqrt-scaled lr) through a NESTED BASE chain (max -> fast -> parity)
+    mx = load_config(os.path.join(root, "mscsa_prgcn_tpu_max.yaml"))
+    assert mx.TRAINING.batchSize == 128 and mx.MODEL.remat
+    assert mx.TRAINING.lr == pytest.approx(2.5e-4)
+    assert mx.MODEL.computeDtype == "bfloat16"          # inherited via fast
+    assert mx.MODEL.attention == "pallas"
+    assert mx.TRAINING.chunkTrain and mx.TRAINING.chunkSource == "adc"
+    assert mx.DATASET.trainName == base.DATASET.trainName
+    assert mx.DATASET.heatmapSize == base.DATASET.heatmapSize
