@@ -1,9 +1,11 @@
 """Profile the flagship train step (or serving program with MODE=serve) on
 the TPU and print per-op time attribution from the xplane trace.
 
-Usage: [MODE=serve] python scripts/profile_train.py
-DMA lines overlap compute, so sums are attribution hints, not wall time
-(DEVNOTES profiling recipe).
+Usage: [MODE=serve] [PROF_BATCH=128 PROF_DTYPE=bfloat16 PROF_REMAT=1]
+       python scripts/profile_train.py
+The PROF_* knobs profile alternative train operating points (e.g. the
+config/mscsa_prgcn_tpu_max.yaml composition). DMA lines overlap compute,
+so sums are attribution hints, not wall time (DEVNOTES profiling recipe).
 """
 
 import os
@@ -25,7 +27,10 @@ def main():
     from hupr_tpu.models import HuPRNet
 
     rng = np.random.default_rng(0)
-    model = HuPRNet(num_filters=32, attn_impl="pallas")
+    dtype = {"float32": None, "bfloat16": jnp.bfloat16}[
+        os.environ.get("PROF_DTYPE", "float32")]
+    model = HuPRNet(num_filters=32, attn_impl="pallas", dtype=dtype,
+                    remat=os.environ.get("PROF_REMAT", "0") == "1")
     ex = np.zeros((1, 8, 8, 2, 64, 64, 8), np.float32)
     variables = _init_variables_host(model, ex)
     trace_dir = "/tmp/hupr_profile"
@@ -55,7 +60,7 @@ def main():
                                jnp.array, variables.get("batch_stats", {})),
                            opt_state=tx.init(params),
                            step=jnp.zeros((), jnp.int32))
-        b = cfg.TRAINING.batchSize
+        b = int(os.environ.get("PROF_BATCH", cfg.TRAINING.batchSize))
         tshape = (b, 8, 8, 2, 64, 64, 8)
         batch = {
             "hori": jax.device_put(
