@@ -224,8 +224,10 @@ def test_runner_chunk_train_end_to_end(tmp_path):
         os.chdir(cwd)
 
 
-def test_runner_chunk_train_fallback(tmp_path):
-    """Inapplicable settings (lossDecay != -1) keep the classic loader."""
+def test_runner_chunk_train_fallback(tmp_path, capsys):
+    """Inapplicable settings (lossDecay != -1) keep the classic loader —
+    and must NOT print the chunk-mode steering hint (the gate is the same
+    applicability predicate)."""
     import argparse
     import os
 
@@ -241,5 +243,31 @@ def test_runner_chunk_train_fallback(tmp_path):
                                   keypoints=False)
         runner = Runner(args, cfg)
         assert runner._chunk_loader is None
+        assert "hint:" not in capsys.readouterr().out
+    finally:
+        os.chdir(cwd)
+
+
+def test_runner_steers_qualifying_classic_runs_to_chunk_mode(tmp_path,
+                                                            capsys):
+    """A classic-loop training run that QUALIFIES for chunk mode gets the
+    one-line steering hint (README 'Which config should I train with?');
+    the fallback test above pins the no-hint case."""
+    import argparse
+    import os
+
+    cfg = _cfg(tmp_path, batch_size=3)
+    assert not cfg.TRAINING.chunkTrain
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        from hupr_tpu.engine import Runner
+        args = argparse.Namespace(seed=0, dir="steer", visDir="none",
+                                  eval=False, sampling_ratio=1,
+                                  keypoints=False)
+        runner = Runner(args, cfg)
+        assert runner._chunk_loader is None
+        out = capsys.readouterr().out
+        assert "hint: this run qualifies for chunk-mode training" in out
     finally:
         os.chdir(cwd)
