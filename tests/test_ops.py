@@ -104,3 +104,24 @@ def test_normalize_matches_reference_transform():
 
     got = np.asarray(normalize_radar_window(jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_normalize_degenerate_plane_is_zero_not_nan():
+    """A constant (R, A) plane normalizes to zeros, not NaN. The cube's
+    Doppler-0 chirp is mathematically zero after clutter removal; the TPU
+    FFT produces it EXACTLY zero (CPU keeps ~1e-10 residue), and the
+    unguarded reference formula 0/0-NaN'd every fused-ADC forward on the
+    chip. Non-degenerate channels of the same window must stay bit-equal
+    to the unguarded math (the where-guard only rewrites the denominator
+    when the plane carries no information)."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((64, 64, 8)).astype(np.float32)
+    x[:, :, 3] = 0.0                       # exactly-zero plane (channel 3)
+    x[:, :, 5] = 2.5                       # constant nonzero plane
+    got = np.asarray(normalize_radar_window(jnp.asarray(x)))
+    assert np.isfinite(got).all()
+    np.testing.assert_array_equal(got[:, :, 3], 0.0)
+    np.testing.assert_array_equal(got[:, :, 5], 0.0)
+    # untouched channels: identical to normalizing them alone (no guard hit)
+    alone = np.asarray(normalize_radar_window(jnp.asarray(x[:, :, :3])))
+    np.testing.assert_array_equal(got[:, :, :3], alone)
